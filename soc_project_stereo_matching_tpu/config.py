@@ -1,0 +1,104 @@
+"""Configuration dataclasses for the TPU-native SGM stereo engine.
+
+The reference keeps its configuration in a C struct ``SGMOption``
+(``SemiGlobalMatching/SemiGlobalMatching/SemiGlobalMatching.h:24-40``) filled
+literally in ``main.c:48-65``, plus compile-time ``#define`` capacity caps
+(``SemiGlobalMatching.h:14-19``).  Here the option struct becomes a frozen,
+hashable dataclass so it can be passed as a static argument through ``jax.jit``
+— the whole pipeline is traced once per configuration, never per frame.
+
+Capacity is *not* statically capped: shapes are taken from the inputs and the
+framework tiles over HBM (and over devices, see ``parallel/``) instead of
+relying on fixed global buffers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# Matches the reference's INVALID_FLOAT (SemiGlobalMatching.h:12): disparity
+# values that fail validation are set to +inf.
+INVALID_FLOAT = float("inf")
+
+
+@dataclasses.dataclass(frozen=True)
+class SGMOptions:
+    """Field-for-field mirror of the reference ``SGMOption`` struct.
+
+    Defaults reproduce the reference CLI configuration (``main.c:48-65``).
+    """
+
+    num_paths: int = 8                # 4 or 8 aggregation directions
+    min_disparity: int = 0
+    max_disparity: int = 64
+
+    is_check_unique: bool = True
+    uniqueness_ratio: float = 0.99
+
+    is_check_lr: bool = True
+    lrcheck_thres: float = 1.0
+
+    is_remove_speckles: bool = True
+    min_speckle_area: int = 50
+
+    p1: int = 10
+    p2_init: int = 150
+
+    # --- framework-only knobs (no reference equivalent) ------------------
+    # Median behaviour: the reference calls MedianFilter in place
+    # (SGM_Match, SemiGlobalMatching.c:120) so later pixels read already
+    # filtered neighbours.  That raster-scan recurrence is inherently
+    # sequential; the TPU default is the standard out-of-place median.
+    # ``median_inplace=True`` is honoured only by the numpy oracle (used for
+    # bit-exact golden comparison).
+    median_inplace: bool = False
+
+    # Speckle-removal iteration cap for the on-device connected-components
+    # labelling (pointer-jumping converges in O(log diameter); None = derive
+    # a safe bound from the image size).
+    speckle_max_iters: Optional[int] = None
+
+    def __post_init__(self) -> None:
+        if self.max_disparity <= self.min_disparity:
+            raise ValueError(
+                f"max_disparity ({self.max_disparity}) must exceed "
+                f"min_disparity ({self.min_disparity})"
+            )
+        if self.num_paths not in (4, 8):
+            raise ValueError("num_paths must be 4 or 8")
+        if self.p1 < 0 or self.p2_init < 0:
+            raise ValueError("p1/p2_init must be non-negative")
+
+    @property
+    def disp_range(self) -> int:
+        return self.max_disparity - self.min_disparity
+
+
+# Reference CLI configuration, for convenience in tests/benchmarks.
+REFERENCE_CLI_OPTIONS = SGMOptions()
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Execution configuration for the TPU engine (no reference equivalent:
+    the reference hardcodes everything at compile time)."""
+
+    # 'exact'  : integer arithmetic bit-matching the reference C (u8/u16
+    #            wrap-around included).  Required for golden parity.
+    # 'fast'   : same integer pipeline but skips wrap-around emulation where
+    #            it cannot trigger (costs stay < 256 for interior pixels).
+    precision: str = "exact"
+
+    # Use Pallas TPU kernels for the hot ops; False falls back to the pure
+    # jnp implementations (used on CPU test meshes).
+    use_pallas: bool = True
+
+    # Spatial tiling across devices (see parallel/tiles.py):
+    #  'none'  : whole image per device
+    #  'exact' : H-tiles with sequential cross-tile scan-carry propagation
+    #  'local' : H-tiles with tile-local path restarts (overlap SGM)
+    tile_mode: str = "none"
+
+    # Batch size per chip for the batched evaluation harness.
+    batch_per_chip: int = 8
