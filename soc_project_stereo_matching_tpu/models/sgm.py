@@ -1,0 +1,102 @@
+"""The SGM pipeline — jit-compiled composition of the ops layer.
+
+Mirrors ``SGM_Match`` (SemiGlobalMatching.c:68-125): census -> Hamming cost
+-> multi-path aggregation -> WTA (+ inverse WTA, LR check) -> speckle
+removal -> median filter.  The whole pipeline is one traced function: XLA
+fuses the elementwise stages and the only sequential structure left is the
+per-direction ``lax.scan``.
+
+Unlike the reference (static 450x375x64 buffers, one frame at a time), the
+engine is shape-polymorphic per compilation, batched via ``vmap``, and
+sharded via ``parallel/`` (batch data-parallel, H-tile spatial parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig, SGMOptions
+from ..ops.aggregation import aggregate_paths
+from ..ops.census import census_5x5
+from ..ops.cost_volume import hamming_cost_volume
+from ..ops.postprocess import lr_check, median_filter_3x3, remove_speckles
+from ..ops.wta import compute_disparity
+
+
+@functools.partial(jax.jit, static_argnames=("options", "diagonal_mode", "use_pallas"))
+def sgm_forward(
+    img_left: jnp.ndarray,
+    img_right: jnp.ndarray,
+    options: SGMOptions,
+    diagonal_mode: str = "wrap",
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """uint8 (H, W) stereo pair -> float32 (H, W) disparity (+inf invalid)."""
+    if use_pallas:
+        from ..ops import pallas_kernels as pk
+
+        cl = pk.census_5x5(img_left)
+        cr = pk.census_5x5(img_right)
+        cost = pk.hamming_cost_volume(cl, cr, options.min_disparity, options.max_disparity)
+        aggr = pk.aggregate_paths(cost, img_left, options, diagonal_mode)
+    else:
+        cl = census_5x5(img_left)
+        cr = census_5x5(img_right)
+        cost = hamming_cost_volume(cl, cr, options.min_disparity, options.max_disparity)
+        aggr = aggregate_paths(cost, img_left, options, diagonal_mode)
+
+    disp = compute_disparity(aggr, options, inverse=False)
+    if options.is_check_lr:
+        disp_right = compute_disparity(aggr, options, inverse=True)
+        disp = lr_check(disp, disp_right, options.lrcheck_thres)
+    if options.is_remove_speckles:
+        disp = remove_speckles(disp, 1.0, options.min_speckle_area)
+    return median_filter_3x3(disp)
+
+
+class SGMEngine:
+    """Convenience wrapper holding options + execution config.
+
+    The reference equivalent is the global ``sgm`` instance +
+    SGM_Initialize/SGM_Match; here initialisation is compilation (cached per
+    input shape) and matching is a pure function call.
+    """
+
+    def __init__(self, options: SGMOptions = SGMOptions(),
+                 config: EngineConfig = EngineConfig()):
+        self.options = options
+        self.config = config
+        self._batched = jax.jit(
+            jax.vmap(
+                lambda l, r: sgm_forward(
+                    l, r, options, self._diag_mode(), self._use_pallas()
+                )
+            )
+        )
+
+    def _diag_mode(self) -> str:
+        return "wrap"
+
+    def _use_pallas(self) -> bool:
+        return self.config.use_pallas and jax.default_backend() == "tpu"
+
+    def match(self, img_left, img_right) -> jax.Array:
+        """Single pair -> disparity.  Accepts numpy or jax uint8 arrays."""
+        return sgm_forward(
+            jnp.asarray(img_left, jnp.uint8),
+            jnp.asarray(img_right, jnp.uint8),
+            self.options,
+            self._diag_mode(),
+            self._use_pallas(),
+        )
+
+    def match_batch(self, imgs_left, imgs_right) -> jax.Array:
+        """(B, H, W) pairs -> (B, H, W) disparities."""
+        return self._batched(
+            jnp.asarray(imgs_left, jnp.uint8), jnp.asarray(imgs_right, jnp.uint8)
+        )

@@ -1,0 +1,133 @@
+"""Disparity post-processing: LR consistency, speckle removal, median —
+JAX ops.
+
+References:
+* LRCheck            ``SemiGlobalMatching.c:445-470``
+* RemoveSpeckles     ``SemiGlobalMatching.c:585-642`` (BFS flood fill)
+* MedianFilter       ``SemiGlobalMatching.c:496-557``
+
+Speckle removal is the one data-dependent-control-flow component of the
+pipeline.  The reference grows regions with a BFS queue; the connectivity
+relation (8-neighbours, both valid, |dd| <= diff) is symmetric, so the
+result is exactly connected-component labelling.  On TPU this becomes
+iterative **min-label propagation with pointer jumping** inside a
+``lax.while_loop`` — O(log diameter) gather/min rounds, converging to the
+per-component minimum index, after which a segment count invalidates small
+components.  Bit-identical to the reference BFS by construction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SGMOptions
+
+_INF = jnp.float32(jnp.inf)
+
+_OFFSETS8 = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+
+
+@partial(jax.jit, static_argnames=("thres",))
+def lr_check(
+    disp_left: jnp.ndarray,
+    disp_right: jnp.ndarray,
+    thres: float,
+) -> jnp.ndarray:
+    """Invalidate left disparities inconsistent with the right map.
+
+    Keeps pixels whose right counterpart is itself invalid (the reference
+    ``continue``s in that case, :457-460)."""
+    w = disp_left.shape[-1]
+    cols = jnp.arange(w, dtype=jnp.float32)
+    valid = jnp.isfinite(disp_left)
+    dl = jnp.where(valid, disp_left, 0.0)
+    # (int32)(j - disp + 0.5) truncates toward zero
+    col_right = jnp.trunc(cols - dl + jnp.float32(0.5)).astype(jnp.int32)
+    in_range = (col_right >= 0) & (col_right < w)
+    cr = jnp.clip(col_right, 0, w - 1)
+    disp_r = jnp.take_along_axis(disp_right, cr, axis=-1)
+    dr = jnp.where(jnp.isfinite(disp_r), disp_r, 0.0)
+    mismatch = jnp.abs(dl - dr) > jnp.float32(thres)
+    kill = valid & (~in_range | (jnp.isfinite(disp_r) & mismatch))
+    return jnp.where(kill, _INF, disp_left)
+
+
+def _shift2d(x: jnp.ndarray, dr: int, dc: int, fill):
+    """Shift so out[r, c] = x[r + dr, c + dc], padding with `fill`."""
+    pad = [(max(0, -dr), max(0, dr)), (max(0, -dc), max(0, dc))]
+    padded = jnp.pad(x, pad, constant_values=fill)
+    h, w = x.shape
+    return padded[max(0, dr):max(0, dr) + h, max(0, dc):max(0, dc) + w]
+
+
+@partial(jax.jit, static_argnames=("min_area", "max_iters"))
+def remove_speckles(
+    disp: jnp.ndarray,
+    diff_insame: float = 1.0,
+    min_area: int = 50,
+    max_iters: int = 0,
+) -> jnp.ndarray:
+    """Connected-component speckle filter, exact w.r.t. the reference BFS.
+
+    disp: float32 (H, W).  max_iters=0 derives a safe bound (H*W worst-case
+    snake, though pointer jumping converges in ~log2 rounds)."""
+    h, w = disp.shape
+    n = h * w
+    finite = jnp.isfinite(disp)
+    d = jnp.where(finite, disp, jnp.float32(1e30))
+
+    # Edge masks per neighbour offset (both finite, |dd| <= diff).
+    edges = []
+    for dr, dc in _OFFSETS8:
+        nd = _shift2d(d, dr, dc, jnp.float32(1e30))
+        nf = _shift2d(finite, dr, dc, False)
+        edges.append(finite & nf & (jnp.abs(d - nd) <= jnp.float32(diff_insame)))
+
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
+    labels0 = idx
+
+    big = jnp.int32(n)
+
+    def body(state):
+        labels, _ = state
+        new = labels
+        for (dr, dc), edge in zip(_OFFSETS8, edges):
+            nl = _shift2d(labels, dr, dc, big)
+            new = jnp.minimum(new, jnp.where(edge, nl, big))
+        # pointer jumping: label <- label[label], twice per round
+        flat = new.reshape(-1)
+        flat = flat[flat]
+        flat = flat[flat]
+        new = flat.reshape(h, w)
+        return (new, jnp.any(new != labels))
+
+    def cond(state):
+        return state[1]
+
+    labels, _ = jax.lax.while_loop(cond, body, (labels0, jnp.bool_(True)))
+
+    counts = jnp.zeros((n,), dtype=jnp.int32).at[labels.reshape(-1)].add(
+        finite.reshape(-1).astype(jnp.int32)
+    )
+    small = counts[labels] < min_area
+    return jnp.where(finite & small, _INF, disp)
+
+
+@jax.jit
+def median_filter_3x3(disp: jnp.ndarray) -> jnp.ndarray:
+    """Out-of-place 3x3 median; 1-px border untouched.
+
+    (The reference applies its median in place — a raster-scan recurrence
+    that is inherently sequential; see SGMOptions.median_inplace.  The
+    out-of-place filter is the TPU-native default.)"""
+    h, w = disp.shape[-2], disp.shape[-1]
+    win = jnp.stack(
+        [disp[..., 1 + r:h - 1 + r, 1 + c:w - 1 + c]
+         for r in (-1, 0, 1) for c in (-1, 0, 1)],
+        axis=0,
+    )
+    med = jnp.sort(win, axis=0)[4]
+    return disp.at[..., 1:h - 1, 1:w - 1].set(med)

@@ -9,13 +9,20 @@ the reference runs its ARM firmware under QEMU to test without a board
 
 import os
 
-# Must happen before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must happen before jax initializes its backends.  NB: the tunnelled TPU
+# plugin ("axon") overrides the JAX_PLATFORMS env var, so force the platform
+# through the config API as well.
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+if os.environ.get("SOC_SGM_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 from pathlib import Path
 

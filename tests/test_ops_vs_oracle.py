@@ -1,0 +1,137 @@
+"""Exact-equality tests: JAX ops (CPU backend) vs the numpy oracle.
+
+The oracle is itself validated bit-exact against the reference C (see
+test_oracle_golden.py), so equality here transitively pins the JAX engine
+to the reference semantics.
+"""
+
+import numpy as np
+import pytest
+
+from soc_project_stereo_matching_tpu import SGMOptions, oracle
+from soc_project_stereo_matching_tpu.models.sgm import SGMEngine, sgm_forward
+from soc_project_stereo_matching_tpu.ops import aggregation, census, cost_volume, postprocess, wta
+
+OPTS = SGMOptions()
+
+
+def _disp_equal(a, b):
+    """Identical validity pattern; finite values equal to 1 ulp.
+
+    XLA's f32 division/FMA contraction may differ from C/numpy by 1 ulp in
+    the subpixel quotient ((c1-c2)/(2*denom)); everything else is integer
+    and must be exact."""
+    a, b = np.asarray(a), np.asarray(b)
+    if not np.array_equal(np.isinf(a), np.isinf(b)):
+        return False
+    fin = np.isfinite(a)
+    return np.allclose(a[fin], b[fin], rtol=3e-7, atol=0)
+
+
+@pytest.fixture(scope="module")
+def stages(small_pair):
+    left, right = small_pair
+    cl = oracle.census_5x5(left)
+    cr = oracle.census_5x5(right)
+    cost = oracle.hamming_cost_volume(cl, cr, OPTS.min_disparity, OPTS.max_disparity)
+    aggr = oracle.aggregate_paths(cost, left, OPTS)
+    disp_l = oracle.compute_disparity(aggr, OPTS, inverse=False)
+    disp_r = oracle.compute_disparity(aggr, OPTS, inverse=True)
+    lr = oracle.lr_check(disp_l, disp_r, OPTS.lrcheck_thres)
+    spk = oracle.remove_speckles(lr, 1.0, OPTS.min_speckle_area)
+    med = oracle.median_filter_3x3(spk, inplace=False)
+    return dict(left=left, right=right, cl=cl, cr=cr, cost=cost, aggr=aggr,
+                disp_l=disp_l, disp_r=disp_r, lr=lr, spk=spk, med=med)
+
+
+def test_census(stages):
+    assert np.array_equal(np.asarray(census.census_5x5(stages["left"])), stages["cl"])
+    assert np.array_equal(np.asarray(census.census_5x5(stages["right"])), stages["cr"])
+
+
+def test_cost_volume(stages):
+    got = cost_volume.hamming_cost_volume(
+        stages["cl"], stages["cr"], OPTS.min_disparity, OPTS.max_disparity
+    )
+    assert np.array_equal(np.asarray(got), stages["cost"])
+
+
+def test_aggregation_wrap(stages):
+    got = aggregation.aggregate_paths(stages["cost"], stages["left"], OPTS)
+    assert np.array_equal(np.asarray(got), stages["aggr"])
+
+
+def test_aggregation_4_paths(stages):
+    opts4 = SGMOptions(num_paths=4)
+    got = aggregation.aggregate_paths(stages["cost"], stages["left"], opts4)
+    want = oracle.aggregate_paths(stages["cost"], stages["left"], opts4)
+    assert np.array_equal(np.asarray(got), want)
+
+
+def test_wta_forward(stages):
+    got = wta.compute_disparity(stages["aggr"], OPTS, inverse=False)
+    assert _disp_equal(got, stages["disp_l"])
+
+
+def test_wta_inverse(stages):
+    got = wta.compute_disparity(stages["aggr"], OPTS, inverse=True)
+    assert _disp_equal(got, stages["disp_r"])
+
+
+def test_lr_check(stages):
+    got = postprocess.lr_check(stages["disp_l"], stages["disp_r"], OPTS.lrcheck_thres)
+    assert _disp_equal(got, stages["lr"])
+
+
+def test_remove_speckles(stages):
+    got = postprocess.remove_speckles(stages["lr"], 1.0, OPTS.min_speckle_area)
+    assert _disp_equal(got, stages["spk"])
+
+
+def test_median(stages):
+    got = postprocess.median_filter_3x3(stages["spk"])
+    assert _disp_equal(got, stages["med"])
+
+
+def test_full_engine(stages):
+    got = SGMEngine(OPTS).match(stages["left"], stages["right"])
+    assert _disp_equal(got, stages["med"])
+
+
+def test_engine_batched(stages):
+    left, right = stages["left"], stages["right"]
+    batch_l = np.stack([left, left[:, ::-1]])
+    batch_r = np.stack([right, right[:, ::-1]])
+    got = SGMEngine(OPTS).match_batch(batch_l, batch_r)
+    assert got.shape == (2,) + left.shape
+    assert _disp_equal(got[0], stages["med"])
+
+
+def test_min_disparity_offset(stages):
+    """Non-zero min_disparity path (no reference equivalent exercises it)."""
+    opts = SGMOptions(min_disparity=4, max_disparity=36)
+    left, right = stages["left"], stages["right"]
+    want = oracle.sgm_match(left, right, opts)
+    got = sgm_forward(left, right, opts)
+    assert _disp_equal(got, want)
+
+
+def test_no_postprocessing(stages):
+    opts = SGMOptions(is_check_lr=False, is_remove_speckles=False, is_check_unique=False)
+    left, right = stages["left"], stages["right"]
+    want = oracle.sgm_match(left, right, opts)
+    got = sgm_forward(left, right, opts)
+    assert _disp_equal(got, want)
+
+
+def test_restart_diagonal_mode(stages):
+    """Standard (non-wrapping) diagonals: paths restart at image edges."""
+    got = np.asarray(aggregation.aggregate_paths(
+        stages["cost"], stages["left"], OPTS, diagonal_mode="restart"
+    ))
+    # differs from wrap mode but stays a valid 8-path sum
+    assert got.dtype == np.uint16
+    assert not np.array_equal(got, stages["aggr"])
+    # horizontal+vertical part identical => difference bounded by 4 paths * 255
+    diff = got.astype(int) - stages["aggr"].astype(int)
+    assert np.abs(diff).max() <= 4 * 255
