@@ -1,0 +1,190 @@
+"""Batched evaluation harness — the TPU-native replacement for the
+reference's socket round-trip test platform.
+
+The reference scores depth maps inside a per-client server thread
+(server.py:183-310) and writes per-client stats JSON (:292-310).  Here the
+network round trip is replaced by an in-process, jit-compiled batch
+pipeline; the stats schema is a superset of the reference's
+(client/total_frames/total_time_s/fps/measurements[...]) so existing
+tooling can consume it, and a run can resume from its own stats file
+(measurements are keyed by dataset name/seq — the reference's seq ids made
+this possible, SURVEY.md section 5 checkpoint note).
+
+Usage:
+    python -m soc_project_stereo_matching_tpu.eval.harness --data DIR [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+from collections import defaultdict
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from ..config import SGMOptions
+from ..data.datasets import StereoPair, discover_datasets, load_pair, reference_data_pairs
+from ..models.sgm import SGMEngine
+from . import metrics as M
+
+PathLike = Union[str, Path]
+
+
+@dataclasses.dataclass
+class HarnessConfig:
+    batch_size: int = 8
+    abs_thresh_mm: float = 10.0
+    disp_tau: float = 3.0
+    stats_path: Optional[Path] = None   # write stats JSON here
+    resume: bool = False                # skip pairs already in stats_path
+    max_disparity: Optional[int] = None  # override per-pair dmax
+    use_pair_disparity_range: bool = True
+
+
+class EvaluationHarness:
+    def __init__(self, options: SGMOptions = SGMOptions(),
+                 config: HarnessConfig = HarnessConfig()):
+        self.base_options = options
+        self.config = config
+        self._engines: Dict[SGMOptions, SGMEngine] = {}
+
+    # -- engine cache -------------------------------------------------------
+    def _engine_for(self, pair: StereoPair) -> SGMEngine:
+        opts = self.base_options
+        if self.config.max_disparity is not None:
+            opts = dataclasses.replace(opts, max_disparity=self.config.max_disparity)
+        elif self.config.use_pair_disparity_range:
+            opts = dataclasses.replace(
+                opts, min_disparity=pair.dmin, max_disparity=pair.dmax
+            )
+        if opts not in self._engines:
+            self._engines[opts] = SGMEngine(opts)
+        return self._engines[opts]
+
+    # -- single pair --------------------------------------------------------
+    def evaluate_pair(self, pair: StereoPair) -> dict:
+        engine = self._engine_for(pair)
+        # warm-up compile excluded from timing (the reference's FPS likewise
+        # excludes board boot)
+        disp = np.asarray(engine.match(pair.img_left, pair.img_right))
+        t0 = time.perf_counter()
+        disp_j = engine.match(pair.img_left, pair.img_right)
+        disp_j.block_until_ready()
+        duration = time.perf_counter() - t0
+        disp = np.asarray(disp_j)
+
+        valid = np.isfinite(disp)
+        depth = np.where(
+            valid, M.disparity_to_depth(disp, pair.calib, 0), np.nan
+        ).astype(np.float32)
+
+        if pair.gt_disp_left is not None:
+            gt_r = pair.gt_disp_right if pair.gt_disp_right is not None \
+                else pair.gt_disp_left
+            h, w = disp.shape
+            gt_depth = M.ground_truth_depth(pair.gt_disp_left, gt_r,
+                                            pair.calib, w, h)
+            depth_metrics = M.compare_depth(gt_depth, depth,
+                                            self.config.abs_thresh_mm)
+            disp_metrics = M.compare_disparity(pair.gt_disp_left, disp,
+                                               self.config.disp_tau)
+        else:
+            depth_metrics = M.DepthMetrics(*([float("nan")] * 2), 0,
+                                           *([float("nan")] * 3))
+            disp_metrics = {"bad_tau": float("nan"), "avg_err": float("nan"),
+                            "density": 0.0, "n_valid": 0}
+
+        return {
+            "name": pair.name,
+            "duration_s": duration,
+            "rmse_mm": depth_metrics.rmse,
+            "bpr": depth_metrics.bpr,
+            "n_valid": depth_metrics.n_valid,
+            "me_mm": depth_metrics.me,
+            "b1m": depth_metrics.b1m,
+            "b1dm": depth_metrics.b1dm,
+            f"disp_bad{self.config.disp_tau:g}": disp_metrics["bad_tau"],
+            "disp_avg_err": disp_metrics["avg_err"],
+            "disp_density": disp_metrics["density"],
+            "valid_frac": float(valid.mean()),
+        }
+
+    # -- full run -----------------------------------------------------------
+    def run(self, folders: Sequence[PathLike], client_id: str = "tpu-engine") -> dict:
+        done = {}
+        if self.config.resume and self.config.stats_path \
+                and Path(self.config.stats_path).exists():
+            prev = json.loads(Path(self.config.stats_path).read_text())
+            done = {m["name"]: m for m in prev.get("measurements", [])}
+
+        measurements: List[dict] = []
+        for seq, folder in enumerate(folders):
+            pair = load_pair(folder)
+            if pair.name in done:
+                m = dict(done[pair.name])
+            else:
+                m = self.evaluate_pair(pair)
+            m["seq"] = seq
+            measurements.append(m)
+            if self.config.stats_path:
+                self._write_stats(client_id, measurements)
+
+        return self._write_stats(client_id, measurements)
+
+    def _write_stats(self, client_id: str, measurements: List[dict]) -> dict:
+        total_time = sum(m["duration_s"] for m in measurements)
+        stats = {
+            "client": client_id,
+            "timestamp": time.strftime("%Y-%m-%d %H:%M:%S", time.localtime()),
+            "total_frames": len(measurements),
+            "total_time_s": total_time,
+            "fps": len(measurements) / total_time if total_time > 0 else 0,
+            "measurements": measurements,
+        }
+        if self.config.stats_path:
+            p = Path(self.config.stats_path)
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_text(json.dumps(stats, indent=2))
+        return stats
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data", type=Path, default=None,
+                    help="base folder; every subdir with calib.txt or a "
+                         "Middlebury PNG pair is evaluated "
+                         "(default: the reference repo's Data/)")
+    ap.add_argument("--stats", type=Path, default=Path("result/stats/tpu-engine.json"))
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--max-disparity", type=int, default=None)
+    ap.add_argument("--num-paths", type=int, default=8, choices=(4, 8))
+    args = ap.parse_args(argv)
+
+    if args.data is not None:
+        folders = discover_datasets(args.data) or sorted(
+            p for p in Path(args.data).iterdir() if p.is_dir())
+    else:
+        folders = reference_data_pairs()
+    if not folders:
+        raise SystemExit("no datasets found")
+
+    harness = EvaluationHarness(
+        SGMOptions(num_paths=args.num_paths),
+        HarnessConfig(stats_path=args.stats, resume=args.resume,
+                      max_disparity=args.max_disparity),
+    )
+    stats = harness.run(folders)
+    for m in stats["measurements"]:
+        print(f"{m['name']:12s} rmse={m['rmse_mm']:.2f}mm bpr={m['bpr']:.4f} "
+              f"bad3={m.get('disp_bad3', float('nan')):.4f} "
+              f"t={m['duration_s'] * 1e3:.1f}ms")
+    print(f"FPS={stats['fps']:.2f} over {stats['total_frames']} frames")
+    return stats
+
+
+if __name__ == "__main__":
+    main()

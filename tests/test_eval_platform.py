@@ -1,0 +1,185 @@
+"""Evaluation-platform parity tests.
+
+Where possible the framework's data/eval modules are cross-validated against
+the reference's *own* Python modules (imported read-only from
+/root/reference/HostScript_Server — never copied)."""
+
+import importlib.util
+import json
+import sys
+
+import numpy as np
+import pytest
+
+from soc_project_stereo_matching_tpu.data import calib as calib_mod
+from soc_project_stereo_matching_tpu.data import datasets, pfm
+from soc_project_stereo_matching_tpu.eval import metrics as M
+
+CALIB_TEXT = """\
+cam0=[3997.684 0 1176.728; 0 3997.684 1011.728; 0 0 1]
+cam1=[3997.684 0 1307.839; 0 3997.684 1011.728; 0 0 1]
+doffs=131.111
+baseline=193.001
+width=2964
+height=1988
+ndisp=280
+"""
+
+
+@pytest.fixture(scope="module")
+def ref_host(reference_dir):
+    """Import the reference HostScript_Server modules for cross-checks."""
+    sys.path.insert(0, str(reference_dir / "HostScript_Server"))
+    try:
+        import stereo_calibration as ref_calib  # noqa: F401
+        import depth_image as ref_depth  # noqa: F401
+        yield {"calib": ref_calib, "depth": ref_depth}
+    finally:
+        sys.path.pop(0)
+        for m in ("stereo_calibration", "depth_image", "stereo_image"):
+            sys.modules.pop(m, None)
+
+
+def test_calib_parse_and_pack_match_reference(tmp_path, ref_host):
+    p = tmp_path / "calib.txt"
+    p.write_text(CALIB_TEXT)
+    ours = calib_mod.StereoCalib.from_file(p)
+    theirs = ref_host["calib"].StereoCalib(str(p))
+    assert np.allclose(ours.cam0, theirs.cam0)
+    assert np.allclose(ours.cam1, theirs.cam1)
+    assert ours.doffs == theirs.doffs and ours.baseline == theirs.baseline
+    assert ours.pack() == theirs.pack()
+
+
+def test_calib_scaling_matches_reference(tmp_path, ref_host):
+    p = tmp_path / "calib.txt"
+    p.write_text(CALIB_TEXT)
+    ours = calib_mod.StereoCalib.from_file(p).scaled(1280, 720)
+    theirs = ref_host["calib"].StereoCalib(str(p))
+    theirs.scale_calib(1280, 720)
+    assert np.allclose(ours.cam0, theirs.cam0)
+    assert np.allclose(ours.doffs, theirs.doffs)
+    assert (ours.width, ours.height) == (theirs.width, theirs.height)
+
+
+def test_calib_unpack_roundtrip(tmp_path):
+    p = tmp_path / "calib.txt"
+    p.write_text(CALIB_TEXT)
+    c = calib_mod.StereoCalib.from_file(p)
+    c2 = calib_mod.StereoCalib.unpack(c.pack(), c.width, c.height)
+    assert np.allclose(c2.cam0, c.cam0) and np.allclose(c2.cam1, c.cam1)
+    assert c2.doffs == pytest.approx(c.doffs, rel=1e-6)
+
+
+def test_pfm_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 300, (37, 53)).astype(np.float32)
+    img[rng.uniform(size=img.shape) < 0.1] = np.inf
+    path = tmp_path / "d.pfm"
+    pfm.write_pfm(path, img)
+    back = pfm.read_pfm(path)
+    assert back.shape == img.shape
+    assert np.array_equal(np.isinf(back), np.isinf(img))
+    assert np.allclose(back[np.isfinite(img)], img[np.isfinite(img)])
+
+
+def test_pfm_read_matches_reference_reader(tmp_path, ref_host):
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 128, (24, 31)).astype(np.float32)
+    path = tmp_path / "d.pfm"
+    pfm.write_pfm(path, img)
+    ours = pfm.read_pfm(path)
+    theirs = ref_host["depth"].read_disp_image(str(path))
+    assert np.array_equal(ours, theirs)
+
+
+def test_compare_depth_matches_reference(ref_host):
+    import logging
+    rng = np.random.default_rng(2)
+    gt = rng.uniform(500, 5000, (64, 64)).astype(np.float32)
+    test = gt + rng.normal(0, 20, gt.shape).astype(np.float32)
+    gt[rng.uniform(size=gt.shape) < 0.2] = np.nan
+    test[rng.uniform(size=gt.shape) < 0.1] = np.nan
+    rmse, bpr, n = ref_host["depth"].compare_img(gt, test, logging.getLogger())
+    ours = M.compare_depth(gt, test)
+    assert ours.rmse == pytest.approx(rmse, rel=1e-6)
+    assert ours.bpr == pytest.approx(bpr, rel=1e-6)
+    assert ours.n_valid == n
+
+
+def test_compare_depth_jnp_matches_numpy():
+    rng = np.random.default_rng(3)
+    gt = rng.uniform(500, 5000, (48, 48)).astype(np.float32)
+    test = gt + rng.normal(0, 30, gt.shape).astype(np.float32)
+    gt[rng.uniform(size=gt.shape) < 0.2] = np.nan
+    got = {k: float(v) for k, v in M.compare_depth_jnp(gt, test).items()}
+    want = M.compare_depth(gt, test)
+    assert got["rmse"] == pytest.approx(want.rmse, rel=1e-5)
+    assert got["bpr"] == pytest.approx(want.bpr, rel=1e-6)
+    assert int(got["n_valid"]) == want.n_valid
+
+
+def test_depth_conversion_matches_reference(tmp_path, ref_host):
+    p = tmp_path / "calib.txt"
+    p.write_text(CALIB_TEXT)
+    ours_c = calib_mod.StereoCalib.from_file(p)
+    theirs_c = ref_host["calib"].StereoCalib(str(p))
+    disp = np.random.default_rng(4).uniform(1, 200, (16, 16)).astype(np.float32)
+    ours = M.disparity_to_depth(disp, ours_c, 0)
+    theirs = ref_host["depth"].disparity_to_depth(disp, theirs_c, 0)
+    assert np.allclose(ours, theirs, rtol=1e-6)
+
+
+def test_resize_depth_matches_cv2_nearest():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 100, (55, 83)).astype(np.float32)
+    ours = M.resize_depth_nearest(img, 128, 72)
+    theirs = cv2.resize(img, (128, 72), interpolation=cv2.INTER_NEAREST)
+    assert np.array_equal(ours, theirs)
+
+
+def test_dataset_discovery(tmp_path):
+    (tmp_path / "a" / "b").mkdir(parents=True)
+    (tmp_path / "a" / "b" / "calib.txt").write_text(CALIB_TEXT)
+    (tmp_path / "c").mkdir()
+    found = datasets.discover_datasets(tmp_path)
+    assert found == [tmp_path / "a" / "b"]
+
+
+def test_load_legacy_pair(reference_dir):
+    pair = datasets.load_pair(
+        reference_dir / "SemiGlobalMatching" / "Data" / "cone")
+    assert pair.img_left.shape == (375, 450)
+    assert pair.dmax == 64
+    gt = pair.gt_disp_left
+    fin = np.isfinite(gt)
+    assert fin.mean() > 0.9 and gt[fin].max() < 64
+
+
+def test_harness_end_to_end_and_resume(reference_dir, tmp_path):
+    from soc_project_stereo_matching_tpu.eval.harness import (
+        EvaluationHarness, HarnessConfig)
+    from soc_project_stereo_matching_tpu import SGMOptions
+
+    stats_path = tmp_path / "stats.json"
+    h = EvaluationHarness(
+        SGMOptions(is_remove_speckles=False),
+        HarnessConfig(stats_path=stats_path, max_disparity=64),
+    )
+    folders = [reference_dir / "SemiGlobalMatching" / "Data" / "cone"]
+    stats = h.run(folders)
+    assert stats["total_frames"] == 1
+    m = stats["measurements"][0]
+    assert m["disp_bad3"] < 0.10 and m["n_valid"] > 0
+    assert json.loads(stats_path.read_text())["fps"] > 0
+
+    # resume: second run must reuse the stored measurement (no recompute)
+    h2 = EvaluationHarness(
+        SGMOptions(is_remove_speckles=False),
+        HarnessConfig(stats_path=stats_path, resume=True, max_disparity=64),
+    )
+    stats2 = h2.run(folders)
+    assert stats2["measurements"][0]["rmse_mm"] == m["rmse_mm"]
+    assert stats2["measurements"][0]["duration_s"] == m["duration_s"]

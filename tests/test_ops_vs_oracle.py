@@ -124,6 +124,16 @@ def test_no_postprocessing(stages):
     assert _disp_equal(got, want)
 
 
+@pytest.mark.slow
+def test_full_engine_full_image(cone_pair):
+    """Full-resolution cone pair: exercises wrapping diagonal paths that the
+    crop never wraps."""
+    left, right = cone_pair
+    want = oracle.sgm_match(left, right, OPTS)
+    got = SGMEngine(OPTS).match(left, right)
+    assert _disp_equal(got, want)
+
+
 def test_restart_diagonal_mode(stages):
     """Standard (non-wrapping) diagonals: paths restart at image edges."""
     got = np.asarray(aggregation.aggregate_paths(
