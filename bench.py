@@ -1,0 +1,87 @@
+"""Headline benchmark: SGM frames/sec/chip on the cone configuration.
+
+Prints ONE JSON line:
+  {"metric": "frames_per_sec_per_chip", "value": N, "unit": "fps",
+   "vs_baseline": N}
+
+Baseline: the reference C core compiled -O2 on x86 runs ~1.4 FPS end-to-end
+on the cone pair (BASELINE.md; the ARM Cortex-A9 target it was written for
+is far slower).  vs_baseline = our fps / 1.4.
+
+Runs the full 8-path pipeline (census -> cost -> aggregation -> WTA ->
+LR check -> speckle removal -> median) at 450x375, D=64, batched.
+Extra diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 1.4
+BATCH = 8
+ITERS = 20
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def load_pair():
+    from soc_project_stereo_matching_tpu.data.imageio import load_image_gray_stb
+
+    base = "/root/reference/SemiGlobalMatching/Data/cone/"
+    try:
+        return (load_image_gray_stb(base + "im2.png"),
+                load_image_gray_stb(base + "im6.png"))
+    except Exception:
+        rng = np.random.default_rng(0)
+        return (rng.integers(0, 256, (375, 450), dtype=np.uint8),
+                rng.integers(0, 256, (375, 450), dtype=np.uint8))
+
+
+def main() -> None:
+    import jax
+
+    from soc_project_stereo_matching_tpu import EngineConfig, SGMOptions
+    from soc_project_stereo_matching_tpu.models.sgm import SGMEngine
+
+    backend = jax.default_backend()
+    log(f"backend={backend}, devices={jax.devices()}")
+
+    left, right = load_pair()
+    lefts = np.broadcast_to(left, (BATCH,) + left.shape).copy()
+    rights = np.broadcast_to(right, (BATCH,) + right.shape).copy()
+
+    engine = SGMEngine(SGMOptions(), EngineConfig(use_pallas=True))
+
+    t0 = time.perf_counter()
+    out = engine.match_batch(lefts, rights)
+    out.block_until_ready()
+    log(f"compile+first batch: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = engine.match_batch(lefts, rights)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    fps = ITERS * BATCH / dt
+    log(f"{ITERS} x batch {BATCH}: {dt:.3f}s -> {fps:.1f} fps "
+        f"({dt / (ITERS * BATCH) * 1e3:.2f} ms/frame)")
+
+    valid = float(np.isfinite(np.asarray(out[0])).mean())
+    log(f"sanity: valid_frac={valid:.3f}")
+
+    print(json.dumps({
+        "metric": "frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

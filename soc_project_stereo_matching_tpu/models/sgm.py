@@ -50,6 +50,14 @@ def sgm_forward(
         cost = hamming_cost_volume(cl, cr, options.min_disparity, options.max_disparity)
         aggr = aggregate_paths(cost, img_left, options, diagonal_mode)
 
+    # XLA TPU miscompiles the fused (vmapped scan sum) -> (two argmin
+    # consumers incl. a shifted view) pattern: the uint16 aggregation output
+    # itself comes back wrong under vmap.  The barrier materialises the
+    # volume (which HBM residency requires anyway) and sidesteps the bad
+    # fusion.  Verified: single==batched==oracle with the barrier; 44% of
+    # entries diverge without it (TPU v5e, jax 0.9).
+    aggr = jax.lax.optimization_barrier(aggr)
+
     disp = compute_disparity(aggr, options, inverse=False)
     if options.is_check_lr:
         disp_right = compute_disparity(aggr, options, inverse=True)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..config import SGMOptions
 
-_INF = jnp.float32(jnp.inf)
+_INF = float("inf")  # lazily converted; avoids backend init at import time
 
 _OFFSETS8 = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
 

@@ -22,8 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SGMOptions
+from .exact_math import div_s32_correctly_rounded
 
-_INF = jnp.float32(jnp.inf)
+_INF = float("inf")  # lazily converted; avoids backend init at import time
 _UINT16_MAX = 65535
 
 
@@ -84,6 +85,9 @@ def compute_disparity(
     c1 = _to_int16(jnp.take_along_axis(cost, idx1[..., None, :], axis=-2)[..., 0, :])
     c2 = _to_int16(jnp.take_along_axis(cost, idx2[..., None, :], axis=-2)[..., 0, :])
     denom = jnp.maximum(_to_int16(c1 + c2 - 2 * min_cost), 1)
-    sub = (c1 - c2).astype(jnp.float32) / (denom.astype(jnp.float32) * jnp.float32(2.0))
+    # correctly-rounded division: TPU's approximate f32 divide is context-
+    # dependent and the quotient sits exactly on .5 boundaries whenever a
+    # neighbour ties the minimum (see ops/exact_math.py)
+    sub = div_s32_correctly_rounded(c1 - c2, denom * 2)
     disp = best_disp.astype(jnp.float32) + sub
     return jnp.where(invalid, _INF, disp)

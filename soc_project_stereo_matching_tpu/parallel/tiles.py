@@ -1,0 +1,212 @@
+"""Spatial (H-tile) parallelism for the SGM pipeline.
+
+The reference caps images at 450x375 with static buffers
+(SemiGlobalMatching.h:14-16); this module removes the cap by sharding the
+image's row dimension across a ``tile`` mesh axis:
+
+* **census** needs a 2-row halo from each neighbour tile
+  (``lax.ppermute`` — devices at the mesh edge receive zeros, which
+  reproduces the reference's zeroed 2-px census border);
+* the **cost volume** is tile-local (W stays whole, so the census shifts
+  along W never cross tiles);
+* **horizontal aggregation passes** are tile-local and exact;
+* **vertical + diagonal passes** carry DP state across tile boundaries.
+  ``cross_tile='exact'`` chains the per-tile scans sequentially — the
+  boundary ``ScanCarry`` (cost, mincost, gray rows) hops tile-to-tile via
+  ``ppermute``, giving bit-identical results to the single-device engine at
+  the price of K-fold redundant scan work (the carry chain is an IIR; use
+  the wavefront-pipelined streaming mode for throughput).
+  ``cross_tile='local'`` restarts paths at tile boundaries (the standard
+  overlap-SGM approximation) and runs fully parallel;
+* **WTA / uniqueness / subpixel / LR check** are row-local;
+* **speckle removal** needs global connectivity: the disparity plane (H*W
+  floats — tiny next to the cost volume) is ``all_gather``-ed, labelled
+  redundantly, and sliced back;
+* the **median** uses a 1-row halo with the global border rows masked back.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SGMOptions
+from ..ops.aggregation import DIRECTIONS_4, DIRECTIONS_8, ScanCarry, directional_scan
+from ..ops.census import census_5x5
+from ..ops.cost_volume import hamming_cost_volume
+from ..ops.postprocess import lr_check, median_filter_3x3, remove_speckles
+from ..ops.wta import compute_disparity
+
+
+def _perm_down(k: int):
+    return [(i, i + 1) for i in range(k - 1)]
+
+
+def _perm_up(k: int):
+    return [(i + 1, i) for i in range(k - 1)]
+
+
+def halo_exchange_rows(x: jnp.ndarray, n: int, axis_name: str, k: int) -> jnp.ndarray:
+    """Pad a (..., Ht, W) tile with n boundary rows from each neighbour.
+    Mesh-edge tiles receive zeros (ppermute semantics)."""
+    if n == 0 or k == 1:
+        pad = [(0, 0)] * (x.ndim - 2) + [(n, n), (0, 0)]
+        return jnp.pad(x, pad)
+    top = jax.lax.ppermute(x[..., -n:, :], axis_name, _perm_down(k))
+    bot = jax.lax.ppermute(x[..., :n, :], axis_name, _perm_up(k))
+    return jnp.concatenate([top, x, bot], axis=-2)
+
+
+def tiled_census(img_tile: jnp.ndarray, axis_name: str, k: int,
+                 h_total: int) -> jnp.ndarray:
+    """Census with cross-tile halo; zeroed at the global 2-px row border."""
+    ht = img_tile.shape[-2]
+    padded = halo_exchange_rows(img_tile, 2, axis_name, k)
+    cen = census_5x5(padded)[..., 2:2 + ht, :]
+    my = jax.lax.axis_index(axis_name) if k > 1 else 0
+    gr = my * ht + jnp.arange(ht)                     # global row index
+    edge = (gr < 2) | (gr >= h_total - 2)
+    return jnp.where(edge[:, None], jnp.uint32(0), cen)
+
+
+def _chained_scan(cost: jnp.ndarray, img: jnp.ndarray, options: SGMOptions,
+                  reverse: bool, roll: int, diagonal_mode: str,
+                  axis_name: str, k: int) -> jnp.ndarray:
+    """Exact cross-tile directional scan over the row axis.
+
+    Tile t's true output needs tile t-1's outgoing carry (t+1 for reverse),
+    so the chain runs K sequential rounds; at round r, tile r's result is
+    selected.  All devices execute identical programs (SPMD)."""
+    my = jax.lax.axis_index(axis_name)
+    perm = _perm_up(k) if reverse else _perm_down(k)
+
+    contrib, carry = directional_scan(
+        cost, img, options.p1, options.p2_init, reverse, roll, diagonal_mode
+    )
+    first = jnp.int32(k - 1) if reverse else jnp.int32(0)
+    out = contrib
+    for step in range(1, k):
+        inc = ScanCarry(*(jax.lax.ppermute(c, axis_name, perm) for c in carry))
+        contrib_c, carry_c = directional_scan(
+            cost, img, options.p1, options.p2_init, reverse, roll,
+            diagonal_mode, carry_in=inc,
+        )
+        mine = (my == (first + (-step if reverse else step)))
+        out = jnp.where(mine, contrib_c, out)
+        carry = ScanCarry(*(jnp.where(mine, c_c, c) for c_c, c in zip(carry_c, carry)))
+    return out
+
+
+def tiled_aggregate(cost: jnp.ndarray, img: jnp.ndarray, options: SGMOptions,
+                    axis_name: str, k: int, cross_tile: str = "exact",
+                    diagonal_mode: str = "wrap") -> jnp.ndarray:
+    """Aggregate (Ht, D, W) cost tiles across the tile axis."""
+    dirs = DIRECTIONS_8 if options.num_paths == 8 else DIRECTIONS_4
+    aggr = jnp.zeros(cost.shape, dtype=jnp.int32)
+    cost_t = cost.transpose(2, 1, 0)
+    img_t = img.T
+    for axis, reverse, roll in dirs:
+        if axis == "h":
+            # horizontal paths never cross H-tiles: exact and parallel
+            contrib, _ = directional_scan(
+                cost_t, img_t, options.p1, options.p2_init, reverse, roll,
+                diagonal_mode,
+            )
+            aggr = aggr + contrib.transpose(2, 1, 0)
+        elif cross_tile == "local" or k == 1:
+            contrib, _ = directional_scan(
+                cost, img, options.p1, options.p2_init, reverse, roll,
+                diagonal_mode,
+            )
+            aggr = aggr + contrib
+        else:
+            aggr = aggr + _chained_scan(
+                cost, img, options, reverse, roll, diagonal_mode, axis_name, k
+            )
+    return aggr.astype(jnp.uint16)
+
+
+def _tiled_forward_single(
+    left_tile: jnp.ndarray,
+    right_tile: jnp.ndarray,
+    options: SGMOptions,
+    axis_name: str,
+    k: int,
+    h_total: int,
+    cross_tile: str,
+    diagonal_mode: str,
+) -> jnp.ndarray:
+    """Full pipeline on one (Ht, W) tile pair (runs inside shard_map)."""
+    cl = tiled_census(left_tile, axis_name, k, h_total)
+    cr = tiled_census(right_tile, axis_name, k, h_total)
+    cost = hamming_cost_volume(cl, cr, options.min_disparity, options.max_disparity)
+    aggr = tiled_aggregate(cost, left_tile, options, axis_name, k,
+                           cross_tile, diagonal_mode)
+    # see models/sgm.py: sidesteps an XLA TPU fusion miscompile under vmap
+    aggr = jax.lax.optimization_barrier(aggr)
+
+    disp = compute_disparity(aggr, options, inverse=False)
+    if options.is_check_lr:
+        disp_r = compute_disparity(aggr, options, inverse=True)
+        disp = lr_check(disp, disp_r, options.lrcheck_thres)
+
+    ht = disp.shape[-2]
+    my = jax.lax.axis_index(axis_name) if k > 1 else 0
+
+    if options.is_remove_speckles:
+        # global connectivity: gather the (small) disparity plane
+        if k > 1:
+            full = jax.lax.all_gather(disp, axis_name, axis=0, tiled=True)
+        else:
+            full = disp
+        full = remove_speckles(full, 1.0, options.min_speckle_area)
+        disp = jax.lax.dynamic_slice_in_dim(full, my * ht, ht, axis=0)
+
+    padded = halo_exchange_rows(disp, 1, axis_name, k)
+    med = median_filter_3x3(padded)[1:1 + ht, :]
+    gr = my * ht + jnp.arange(ht)
+    border = (gr == 0) | (gr == h_total - 1)
+    return jnp.where(border[:, None], disp, med)
+
+
+def make_tiled_matcher(
+    options: SGMOptions,
+    mesh: Mesh,
+    h: int,
+    w: int,
+    cross_tile: str = "exact",
+    diagonal_mode: str = "wrap",
+):
+    """Build a jitted (B, H, W) x2 -> (B, H, W) matcher sharded over the
+    mesh: batch across 'data', rows across 'tile'."""
+    k = mesh.shape["tile"]
+    if h % k:
+        raise ValueError(f"H={h} not divisible by tile axis size {k}")
+
+    single = functools.partial(
+        _tiled_forward_single,
+        options=options, axis_name="tile", k=k, h_total=h,
+        cross_tile=cross_tile, diagonal_mode=diagonal_mode,
+    )
+
+    def local_fn(lefts, rights):
+        # lefts: (B_local, Ht, W) on each device
+        return jax.vmap(single)(lefts, rights)
+
+    spec = P("data", "tile", None)
+    fn = shard_map(local_fn, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+                   check_vma=False)
+    sharding = NamedSharding(mesh, spec)
+
+    @functools.partial(jax.jit, out_shardings=sharding)
+    def matcher(lefts, rights):
+        lefts = jax.lax.with_sharding_constraint(lefts, sharding)
+        rights = jax.lax.with_sharding_constraint(rights, sharding)
+        return fn(lefts, rights)
+
+    return matcher

@@ -1,0 +1,90 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (conftest forces
+xla_force_host_platform_device_count=8), mirroring the reference's
+QEMU-without-hardware strategy (SURVEY.md section 4.5)."""
+
+import jax
+import numpy as np
+import pytest
+
+from soc_project_stereo_matching_tpu import SGMOptions, oracle
+from soc_project_stereo_matching_tpu.parallel.mesh import make_mesh
+from soc_project_stereo_matching_tpu.parallel.tiles import make_tiled_matcher
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _disp_equal(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    if not np.array_equal(np.isinf(a), np.isinf(b)):
+        return False
+    fin = np.isfinite(a)
+    return np.allclose(a[fin], b[fin], rtol=3e-7, atol=0)
+
+
+@pytest.fixture(scope="module")
+def batch(small_pair):
+    left, right = small_pair
+    lefts = np.stack([left, left[:, ::-1].copy()])
+    rights = np.stack([right, right[:, ::-1].copy()])
+    return lefts, rights
+
+
+def test_exact_tiled_matches_oracle(batch, small_pair):
+    left, right = small_pair
+    opts = SGMOptions()
+    want = oracle.sgm_match(left, right, opts)
+    mesh = make_mesh(data=2, tile=4)
+    matcher = make_tiled_matcher(opts, mesh, *left.shape, cross_tile="exact")
+    got = np.asarray(matcher(*batch))
+    assert got.shape == batch[0].shape
+    assert _disp_equal(got[0], want)
+
+
+def test_exact_tiled_data_axis_only(batch, small_pair):
+    left, right = small_pair
+    opts = SGMOptions()
+    want = oracle.sgm_match(left, right, opts)
+    mesh = make_mesh(data=8, tile=1)
+    lefts = np.concatenate([batch[0]] * 4)
+    rights = np.concatenate([batch[1]] * 4)
+    matcher = make_tiled_matcher(opts, mesh, *left.shape, cross_tile="exact")
+    got = np.asarray(matcher(lefts, rights))
+    assert _disp_equal(got[0], want) and _disp_equal(got[6], np.asarray(got[0]))
+
+
+def test_local_tiled_runs_and_approximates(batch, small_pair):
+    left, right = small_pair
+    opts = SGMOptions()
+    want = oracle.sgm_match(left, right, opts)
+    mesh = make_mesh(data=2, tile=4)
+    matcher = make_tiled_matcher(opts, mesh, *left.shape, cross_tile="local")
+    got = np.asarray(matcher(*batch))
+    # approximate mode: validity should still broadly agree
+    agree = (np.isinf(got[0]) == np.isinf(want)).mean()
+    assert agree > 0.80
+
+
+def test_tile_only_mesh(batch, small_pair):
+    left, right = small_pair
+    opts = SGMOptions(is_remove_speckles=False)
+    want = oracle.sgm_match(left, right, opts)
+    mesh = make_mesh(data=1, tile=8)
+    matcher = make_tiled_matcher(opts, mesh, *left.shape, cross_tile="exact")
+    got = np.asarray(matcher(batch[0][:1], batch[1][:1]))
+    assert _disp_equal(got[0], want)
+
+
+def test_graft_entry_dryrun():
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    try:
+        import __graft_entry__ as g
+        g.dryrun_multichip(8)
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape == args[0].shape
+    finally:
+        sys.path.pop(0)
