@@ -11,6 +11,13 @@ is far slower).  vs_baseline = our fps / 1.4.
 Runs the full 8-path pipeline (census -> cost -> aggregation -> WTA ->
 LR check -> speckle removal -> median) at 450x375, D=64, batched.
 Extra diagnostics go to stderr; stdout carries only the JSON line.
+
+Timing methodology: the TPU runtime in this environment dispatches lazily
+(``block_until_ready`` can return before device execution), so a naive
+dispatch loop measures fantasy numbers.  We instead build a *dependency
+chain* — iteration k's input is derived from iteration k-1's output — and
+fetch a scalar from the final result, which forces every link to execute;
+wall-clock / iters is then a true per-iteration time.
 """
 
 from __future__ import annotations
@@ -45,6 +52,7 @@ def load_pair():
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from soc_project_stereo_matching_tpu import EngineConfig, SGMOptions
     from soc_project_stereo_matching_tpu.models.sgm import SGMEngine
@@ -53,23 +61,31 @@ def main() -> None:
     log(f"backend={backend}, devices={jax.devices()}")
 
     left, right = load_pair()
-    lefts = np.broadcast_to(left, (BATCH,) + left.shape).copy()
-    rights = np.broadcast_to(right, (BATCH,) + right.shape).copy()
+    lefts = jnp.asarray(np.broadcast_to(left, (BATCH,) + left.shape))
+    rights = jnp.asarray(np.broadcast_to(right, (BATCH,) + right.shape))
 
     engine = SGMEngine(SGMOptions(), EngineConfig(use_pallas=True))
 
+    # Dependency chain: perturb the next input with a bit derived from the
+    # previous output so no iteration can be elided or reordered.
+    @jax.jit
+    def step(l, r):
+        out = engine._batched(l, r)
+        return l ^ jnp.isfinite(out).astype(jnp.uint8), out
+
     t0 = time.perf_counter()
-    out = engine.match_batch(lefts, rights)
-    out.block_until_ready()
+    l, out = step(lefts, rights)
+    _ = jax.device_get(out[0, 0, 0])
     log(f"compile+first batch: {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
+    l = lefts
     for _ in range(ITERS):
-        out = engine.match_batch(lefts, rights)
-    out.block_until_ready()
+        l, out = step(l, rights)
+    _ = jax.device_get(out[0, 0, 0])  # forces the whole chain
     dt = time.perf_counter() - t0
     fps = ITERS * BATCH / dt
-    log(f"{ITERS} x batch {BATCH}: {dt:.3f}s -> {fps:.1f} fps "
+    log(f"{ITERS} x batch {BATCH} (chained): {dt:.3f}s -> {fps:.1f} fps "
         f"({dt / (ITERS * BATCH) * 1e3:.2f} ms/frame)")
 
     valid = float(np.isfinite(np.asarray(out[0])).mean())

@@ -1,0 +1,102 @@
+"""Per-stage timing of the SGM pipeline on the current backend.
+
+The axon TPU relay executes lazily: ``block_until_ready`` alone does not
+guarantee device execution, so naive dispatch loops report fantasy numbers.
+Honest methodology (used here and in bench.py): build a *dependency chain*
+of N iterations (each iteration consumes the previous output) and fetch a
+scalar from the final result — execution of every link is then forced and
+wall-clock / N is a true per-iteration time.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from soc_project_stereo_matching_tpu import SGMOptions
+from soc_project_stereo_matching_tpu.models.sgm import sgm_forward
+from soc_project_stereo_matching_tpu.ops.aggregation import aggregate_paths
+from soc_project_stereo_matching_tpu.ops.census import census_5x5
+from soc_project_stereo_matching_tpu.ops.cost_volume import hamming_cost_volume
+from soc_project_stereo_matching_tpu.ops.postprocess import (
+    lr_check, median_filter_3x3, remove_speckles)
+from soc_project_stereo_matching_tpu.ops.wta import compute_disparity
+
+B, H, W = 8, 375, 450
+OPT = SGMOptions()
+D = OPT.max_disparity
+ITERS = 10
+
+
+def timeit_chain(name, fn, x0, iters=ITERS):
+    """fn: x -> x (same shape/dtype); times a dependency chain of `iters`."""
+    x = fn(x0)
+    _ = jax.device_get(jax.numpy.ravel(x)[0])  # warm-up + force
+    t0 = time.perf_counter()
+    x = x0
+    for _ in range(iters):
+        x = fn(x)
+    _ = jax.device_get(jax.numpy.ravel(x)[0])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:28s} {dt * 1e3 / B:8.4f} ms/frame   {dt * 1e3:8.3f} ms/batch")
+    return dt
+
+
+def main():
+    rng = np.random.default_rng(0)
+    left = jnp.asarray(rng.integers(0, 256, (B, H, W), dtype=np.uint8))
+    right = jnp.asarray(rng.integers(0, 256, (B, H, W), dtype=np.uint8))
+    cost0 = jnp.asarray(rng.integers(0, 128, (B, H, D, W), dtype=np.uint8))
+    aggr0 = jnp.asarray(rng.integers(0, 2040, (B, H, D, W), dtype=np.uint16))
+    disp0 = jnp.asarray(rng.uniform(0, 64, (B, H, W)).astype(np.float32))
+    print(f"backend={jax.default_backend()} B={B} H={H} W={W} D={D} iters={ITERS}")
+
+    census = jax.jit(jax.vmap(census_5x5))
+    timeit_chain("census", lambda x: (census(x) & 0xFF).astype(jnp.uint8), left)
+
+    cost_fn = jax.jit(jax.vmap(
+        lambda a, b: hamming_cost_volume(a, b, OPT.min_disparity, OPT.max_disparity)))
+    cl, cr = census(left), census(right)
+    timeit_chain(
+        "cost volume",
+        lambda x: cost_fn(x.astype(jnp.uint32) << 16 | cl[..., :1].astype(jnp.uint32), cr)[
+            ..., 0, :],
+        (cl & 0xFF).astype(jnp.uint8).astype(jnp.uint32)[..., :],
+    )
+
+    aggr_fn = jax.jit(jax.vmap(lambda c, i: aggregate_paths(c, i, OPT)))
+    timeit_chain(
+        "aggregation (8 paths)",
+        lambda c: (aggr_fn(c, left) & 0x7F).astype(jnp.uint8), cost0)
+
+    wta_fwd = jax.jit(jax.vmap(lambda a: compute_disparity(a, OPT, inverse=False)))
+    timeit_chain(
+        "WTA fwd",
+        lambda a: a ^ jnp.isfinite(wta_fwd(a)).astype(jnp.uint16)[..., None, :], aggr0)
+    wta_inv = jax.jit(jax.vmap(lambda a: compute_disparity(a, OPT, inverse=True)))
+    timeit_chain(
+        "WTA inverse",
+        lambda a: a ^ jnp.isfinite(wta_inv(a)).astype(jnp.uint16)[..., None, :], aggr0)
+
+    lr_fn = jax.jit(jax.vmap(lambda a, b: lr_check(a, b, OPT.lrcheck_thres)))
+    timeit_chain("LR check", lambda d: lr_fn(d, disp0), disp0)
+
+    spk = jax.jit(jax.vmap(lambda d: remove_speckles(d, 1.0, OPT.min_speckle_area)))
+    timeit_chain(
+        "speckle removal",
+        lambda d: jnp.where(jnp.isfinite(spk(d)), disp0, disp0 + 1), disp0)
+
+    med = jax.jit(jax.vmap(median_filter_3x3))
+    timeit_chain("median 3x3", med, disp0)
+
+    full = jax.jit(jax.vmap(lambda l, r: sgm_forward(l, r, OPT)))
+    timeit_chain(
+        "FULL pipeline",
+        lambda x: left ^ jnp.isfinite(full(x, right)).astype(jnp.uint8), left)
+
+
+if __name__ == "__main__":
+    main()

@@ -63,51 +63,89 @@ def _shift2d(x: jnp.ndarray, dr: int, dc: int, fill):
     return padded[max(0, dr):max(0, dr) + h, max(0, dc):max(0, dc) + w]
 
 
-@partial(jax.jit, static_argnames=("min_area", "max_iters"))
+def _segmented_min_scan(labels: jnp.ndarray, connected: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Min over each maximal run of `connected` elements, along `axis`.
+
+    connected[k] = True iff element k links to element k-1 along the axis
+    (connected[0] is ignored/False).  Gather-free: two log-depth
+    ``associative_scan`` passes (forward + reverse) of the standard
+    segmented-min operator (reset, value)."""
+    reset = ~connected
+    # Force a reset at position 0 so runs never wrap.
+    idx0 = jax.lax.broadcasted_iota(jnp.int32, labels.shape, axis % labels.ndim)
+    reset = reset | (idx0 == 0)
+
+    def combine(a, b):
+        ra, va = a
+        rb, vb = b
+        return ra | rb, jnp.where(rb, vb, jnp.minimum(va, vb))
+
+    _, fwd = jax.lax.associative_scan(combine, (reset, labels), axis=axis)
+    # Backward pass: element k links to k+1 iff connected[k+1].
+    reset_b = jnp.flip(~jnp.roll(connected, -1, axis=axis), axis=axis)
+    reset_b = reset_b | (idx0 == 0)
+    _, bwd = jax.lax.associative_scan(
+        combine, (reset_b, jnp.flip(labels, axis=axis)), axis=axis)
+    return jnp.minimum(fwd, jnp.flip(bwd, axis=axis))
+
+
+@partial(jax.jit, static_argnames=("min_area",))
 def remove_speckles(
     disp: jnp.ndarray,
     diff_insame: float = 1.0,
     min_area: int = 50,
-    max_iters: int = 0,
 ) -> jnp.ndarray:
     """Connected-component speckle filter, exact w.r.t. the reference BFS.
 
-    disp: float32 (H, W).  max_iters=0 derives a safe bound (H*W worst-case
-    snake, though pointer jumping converges in ~log2 rounds)."""
+    The reference grows regions with a scalar BFS queue; connectivity
+    (8-neighbours, both valid, |dd| <= diff) is symmetric, so the result is
+    exactly connected-component labelling.  Here labels (initialised to the
+    pixel's flat index) converge to the per-component minimum by iterating
+    gather-free min-propagation rounds in a ``while_loop``:
+
+    * row pass: segmented min over horizontal runs (log-depth scan) —
+      propagates across an entire row run in one round;
+    * column pass: segmented min over vertical runs;
+    * diagonal pass: masked 1-step shift-mins for the 4 diagonal edges.
+
+    Convergence (no label changes anywhere) implies per-component-constant
+    labels = the component minimum, so counts and the area test are exact.
+    Real frames converge in a handful of rounds (one per "bend" in the
+    worst component); each round is pure VPU work, no gathers.
+    """
     h, w = disp.shape
     n = h * w
     finite = jnp.isfinite(disp)
     d = jnp.where(finite, disp, jnp.float32(1e30))
+    diff = jnp.float32(diff_insame)
 
-    # Edge masks per neighbour offset (both finite, |dd| <= diff).
-    edges = []
-    for dr, dc in _OFFSETS8:
+    # Run-connectivity along rows/cols: pixel links to its predecessor.
+    conn_row = finite & jnp.roll(finite, 1, axis=1) \
+        & (jnp.abs(d - jnp.roll(d, 1, axis=1)) <= diff)
+    conn_col = finite & jnp.roll(finite, 1, axis=0) \
+        & (jnp.abs(d - jnp.roll(d, 1, axis=0)) <= diff)
+
+    # Diagonal edge masks (both endpoints valid, |dd| <= diff).
+    diag = []
+    for dr, dc in ((-1, -1), (-1, 1), (1, -1), (1, 1)):
         nd = _shift2d(d, dr, dc, jnp.float32(1e30))
         nf = _shift2d(finite, dr, dc, False)
-        edges.append(finite & nf & (jnp.abs(d - nd) <= jnp.float32(diff_insame)))
+        diag.append((dr, dc, finite & nf & (jnp.abs(d - nd) <= diff)))
 
-    idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
-    labels0 = idx
-
+    labels0 = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
     big = jnp.int32(n)
 
     def body(state):
         labels, _ = state
-        new = labels
-        for (dr, dc), edge in zip(_OFFSETS8, edges):
-            nl = _shift2d(labels, dr, dc, big)
+        new = _segmented_min_scan(labels, conn_row, axis=1)
+        new = _segmented_min_scan(new, conn_col, axis=0)
+        for dr, dc, edge in diag:
+            nl = _shift2d(new, dr, dc, big)
             new = jnp.minimum(new, jnp.where(edge, nl, big))
-        # pointer jumping: label <- label[label], twice per round
-        flat = new.reshape(-1)
-        flat = flat[flat]
-        flat = flat[flat]
-        new = flat.reshape(h, w)
         return (new, jnp.any(new != labels))
 
-    def cond(state):
-        return state[1]
-
-    labels, _ = jax.lax.while_loop(cond, body, (labels0, jnp.bool_(True)))
+    labels, _ = jax.lax.while_loop(
+        lambda s: s[1], body, (labels0, jnp.bool_(True)))
 
     counts = jnp.zeros((n,), dtype=jnp.int32).at[labels.reshape(-1)].add(
         finite.reshape(-1).astype(jnp.int32)
