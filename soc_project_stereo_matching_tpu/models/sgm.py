@@ -3,22 +3,21 @@
 Mirrors ``SGM_Match`` (SemiGlobalMatching.c:68-125): census -> Hamming cost
 -> multi-path aggregation -> WTA (+ inverse WTA, LR check) -> speckle
 removal -> median filter.  The whole pipeline is one traced function: XLA
-fuses the elementwise stages and the only sequential structure left is the
-per-direction ``lax.scan``.
+fuses the elementwise stages, the directional DP scans run as Pallas
+kernels on TPU (ops/pallas_kernels.py) or ``lax.scan`` elsewhere.
 
 Unlike the reference (static 450x375x64 buffers, one frame at a time), the
-engine is shape-polymorphic per compilation, batched via ``vmap``, and
+engine is shape-polymorphic per compilation, natively batched (leading B
+dim threads through every stage — no vmap around the Pallas kernels), and
 sharded via ``parallel/`` (batch data-parallel, H-tile spatial parallel).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import EngineConfig, SGMOptions
 from ..ops.aggregation import aggregate_paths
@@ -36,19 +35,22 @@ def sgm_forward(
     diagonal_mode: str = "wrap",
     use_pallas: bool = False,
 ) -> jnp.ndarray:
-    """uint8 (H, W) stereo pair -> float32 (H, W) disparity (+inf invalid)."""
+    """uint8 (..., H, W) stereo pair -> float32 (..., H, W) disparity
+    (+inf invalid).  Accepts an optional leading batch dimension."""
+    cl = census_5x5(img_left)
+    cr = census_5x5(img_right)
+    cost = hamming_cost_volume(cl, cr, options.min_disparity, options.max_disparity)
+
     if use_pallas:
         from ..ops import pallas_kernels as pk
 
-        cl = pk.census_5x5(img_left)
-        cr = pk.census_5x5(img_right)
-        cost = pk.hamming_cost_volume(cl, cr, options.min_disparity, options.max_disparity)
         aggr = pk.aggregate_paths(cost, img_left, options, diagonal_mode)
-    else:
-        cl = census_5x5(img_left)
-        cr = census_5x5(img_right)
-        cost = hamming_cost_volume(cl, cr, options.min_disparity, options.max_disparity)
+    elif img_left.ndim == 2:
         aggr = aggregate_paths(cost, img_left, options, diagonal_mode)
+    else:
+        aggr = jax.vmap(
+            lambda c, i: aggregate_paths(c, i, options, diagonal_mode)
+        )(cost, img_left)
 
     # XLA TPU miscompiles the fused (vmapped scan sum) -> (two argmin
     # consumers incl. a shifted view) pattern: the uint16 aggregation output
@@ -63,7 +65,13 @@ def sgm_forward(
         disp_right = compute_disparity(aggr, options, inverse=True)
         disp = lr_check(disp, disp_right, options.lrcheck_thres)
     if options.is_remove_speckles:
-        disp = remove_speckles(disp, 1.0, options.min_speckle_area)
+        spk = lambda d: remove_speckles(d, 1.0, options.min_speckle_area)
+        if disp.ndim == 2:
+            disp = spk(disp)
+        else:
+            batch = disp.shape[:-2]
+            flat = disp.reshape((-1,) + disp.shape[-2:])
+            disp = jax.vmap(spk)(flat).reshape(batch + disp.shape[-2:])
     return median_filter_3x3(disp)
 
 
@@ -80,10 +88,8 @@ class SGMEngine:
         self.options = options
         self.config = config
         self._batched = jax.jit(
-            jax.vmap(
-                lambda l, r: sgm_forward(
-                    l, r, options, self._diag_mode(), self._use_pallas()
-                )
+            lambda l, r: sgm_forward(
+                l, r, options, self._diag_mode(), self._use_pallas()
             )
         )
 

@@ -1,12 +1,244 @@
 """Pallas TPU kernels for the SGM hot path.
 
-Kernels land here incrementally; any op not yet kernelised falls back to
-its jnp implementation (XLA already fuses the elementwise stages well — the
-wins here are the scan-heavy aggregation and bandwidth control).
+The reference walks each aggregation path with scalar pointers
+(``SemiGlobalMatching.c:198-372``); the pure-XLA version in
+``ops/aggregation.py`` expresses each direction as a ``lax.scan`` whose
+per-step work is far too small to hide scan overhead on TPU.  Here the
+whole scan runs *inside* one kernel: the grid iterates sequentially over
+(batch, row-chunk), DP carries live in VMEM scratch across grid steps, and
+up to three directions that share a scan order (the straight pass plus the
+two edge-wrapping diagonals, distinguished only by a circular lane roll of
+the carry — see aggregation.py's derivation) are fused into one launch so
+the cost rows are read once.
+
+Eight paths therefore take four launches:
+
+    vertical fwd  (rolls 0,+1,-1)   -> partial
+    vertical bwd  (rolls 0,-1,+1)   += partial      (input_output_aliases)
+    horizontal fwd (roll 0, on the (W, D, H)-transposed view) -> partial
+    horizontal bwd (roll 0)         += partial
+
+and one XLA add combines the vertical and (back-transposed) horizontal
+partials into the uint16 aggregated volume, bit-equal to the oracle.
+
+Bit-exactness notes: the adaptive-P2 planes ``max(P1, P2/(|dI|+1))`` are
+precomputed in XLA (exact int32 division) and streamed as (nrolls, H, W)
+inputs; the per-step truncation is ``& 0xFF`` on int32, matching the
+reference's uint8 store; a zero carry is exactly carry-neutral (forces
+``m - mincost == 0`` so the first row contributes its raw cost), which
+makes path starts, zero-padded rows and reverse scans all uniform.
 """
 
 from __future__ import annotations
 
-from .aggregation import aggregate_paths  # noqa: F401  (fallback)
-from .census import census_5x5  # noqa: F401  (fallback)
-from .cost_volume import hamming_cost_volume  # noqa: F401  (fallback)
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import SGMOptions
+
+SENTINEL = 255
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _roll(x: jnp.ndarray, shift: int, axis: int) -> jnp.ndarray:
+    """jnp.roll semantics; pltpu.roll only accepts non-negative shifts."""
+    return pltpu.roll(x, shift % x.shape[axis], axis=axis)
+
+
+def _scan_group_kernel(
+    cost_ref, p2_ref, acc_ref, out_ref, carry_cost, carry_min,
+    *, rows: int, d: int, w: int, rolls: Sequence[int], reverse: bool,
+    p1: int, restart: bool,
+):
+    """One (batch, row-chunk) grid step of a fused multi-direction DP scan."""
+    chunk = pl.program_id(1)
+
+    @pl.when(chunk == 0)
+    def _init():
+        carry_cost[...] = jnp.zeros_like(carry_cost)
+        carry_min[...] = jnp.zeros_like(carry_min)
+
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (d, w), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (d, w), 1)
+
+    def step(s, _):
+        row = rows - 1 - s if reverse else s
+        cost_row = cost_ref[0, row].astype(jnp.int32)            # (D, W)
+        total = None
+        for k, roll in enumerate(rolls):
+            prev = carry_cost[k]
+            pmin = carry_min[k]
+            if roll:
+                prev = _roll(prev, roll, axis=1)
+                pmin = _roll(pmin, roll, axis=1)
+            p2_row = p2_ref[0, k, pl.ds(row, 1)].astype(jnp.int32)   # (1, W)
+            up = jnp.where(d_iota == 0, SENTINEL,
+                           _roll(prev, 1, axis=0)) + p1     # L(p-r, d-1)+P1
+            dn = jnp.where(d_iota == d - 1, SENTINEL,
+                           _roll(prev, -1, axis=0)) + p1    # L(p-r, d+1)+P1
+            m = jnp.minimum(jnp.minimum(prev, up),
+                            jnp.minimum(dn, pmin + p2_row))
+            cs = (cost_row + m - pmin) & 0xFF
+            if restart and roll:
+                lane = 0 if roll > 0 else w - 1
+                cs = jnp.where(lane_iota == lane, cost_row, cs)
+            carry_cost[k] = cs
+            carry_min[k] = jnp.min(cs, axis=0, keepdims=True)
+            total = cs if total is None else total + cs
+        if acc_ref is not None:
+            total = total + acc_ref[0, row].astype(jnp.int32)
+        out_ref[0, row] = total.astype(jnp.uint16)
+        return ()
+
+    jax.lax.fori_loop(0, rows, step, (), unroll=False)
+
+
+def _directional_scan_group(
+    cost: jnp.ndarray,       # (B, S, D, P) int8 — S is the scan axis
+    p2: jnp.ndarray,         # (B, nrolls, S, P) int32
+    acc: Optional[jnp.ndarray],   # (B, S, D, P) uint16 or None
+    rolls: Sequence[int],
+    reverse: bool,
+    p1: int,
+    restart: bool,
+    block_rows: int,
+) -> jnp.ndarray:
+    b, s, d, p = cost.shape
+    assert s % block_rows == 0, (s, block_rows)
+    grid = (b, s // block_rows)
+
+    base = functools.partial(
+        _scan_group_kernel,
+        rows=block_rows, d=d, w=p, rolls=tuple(rolls), reverse=reverse,
+        p1=p1, restart=restart,
+    )
+
+    def vol_spec():
+        return pl.BlockSpec(
+            (1, block_rows, d, p),
+            lambda bi, ci: (bi, grid[1] - 1 - ci if reverse else ci, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    p2_spec = pl.BlockSpec(
+        (1, len(rolls), block_rows, p),
+        lambda bi, ci: (bi, 0, grid[1] - 1 - ci if reverse else ci, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    if acc is not None:
+        kern = base
+        in_specs = [vol_spec(), p2_spec, vol_spec()]
+        inputs = [cost, p2, acc]
+        io_aliases = {2: 0}
+    else:
+        def kern(cost_ref, p2_ref, out_ref, cc, cm):
+            base(cost_ref, p2_ref, None, out_ref, cc, cm)
+        in_specs = [vol_spec(), p2_spec]
+        inputs = [cost, p2]
+        io_aliases = {}
+
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=vol_spec(),
+        out_shape=jax.ShapeDtypeStruct((b, s, d, p), jnp.uint16),
+        scratch_shapes=[
+            pltpu.VMEM((len(rolls), d, p), jnp.int32),
+            pltpu.VMEM((len(rolls), 1, p), jnp.int32),
+        ],
+        input_output_aliases=io_aliases,
+        interpret=_interpret(),
+    )(*inputs)
+
+
+def _p2_planes(img: jnp.ndarray, rolls: Sequence[int], axis_prev: int,
+               p1: int, p2_init: int) -> jnp.ndarray:
+    """(B, S, P) int32 image -> (B, nrolls, S, P) adaptive-P2 planes.
+
+    axis_prev: +1 if the previous path pixel is at scan index s-1 (forward
+    scan), -1 for s+1 (reverse).  Lane roll r means the carry is rolled by
+    r before use, i.e. the previous pixel sits at lane j - r (mod P)."""
+    prev_s = jnp.roll(img, axis_prev, axis=-2)
+    planes = []
+    for r in rolls:
+        prev = jnp.roll(prev_s, r, axis=-1) if r else prev_s
+        p2 = jnp.maximum(p1, p2_init // (jnp.abs(img - prev) + 1))
+        planes.append(p2)
+    return jnp.stack(planes, axis=-3).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("options", "diagonal_mode", "block_rows"))
+def aggregate_paths(
+    cost: jnp.ndarray,
+    img_left: jnp.ndarray,
+    options: SGMOptions,
+    diagonal_mode: str = "wrap",
+    block_rows: int = 32,
+) -> jnp.ndarray:
+    """Pallas multi-path aggregation, bit-equal to ``aggregation.aggregate_paths``.
+
+    cost: (..., H, D, W) uint8; img_left: (..., H, W) uint8.
+    Returns (..., H, D, W) uint16.  Accepts an optional leading batch dim.
+    """
+    restart = diagonal_mode == "restart"
+    unbatched = cost.ndim == 3
+    if unbatched:
+        cost = cost[None]
+        img_left = img_left[None]
+    b, h, d, w = cost.shape
+    p1, p2i = options.p1, options.p2_init
+    img = img_left.astype(jnp.int32)
+
+    cost8 = cost.astype(jnp.int8)  # values <= 127 + border 127: exact
+    hp = _round_up(h, block_rows)
+    wp = _round_up(w, block_rows)
+
+    # ---- vertical groups (6 of 8 paths; 2 of 4) --------------------------
+    v_rolls_f = (0, 1, -1) if options.num_paths == 8 else (0,)
+    v_rolls_b = (0, -1, 1) if options.num_paths == 8 else (0,)
+    cost_v = jnp.pad(cost8, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
+    p2_f = _p2_planes(img, v_rolls_f, +1, p1, p2i)
+    p2_b = _p2_planes(img, v_rolls_b, -1, p1, p2i)
+    pad_p2 = ((0, 0), (0, 0), (0, hp - h), (0, 0))
+    part_v = _directional_scan_group(
+        cost_v, jnp.pad(p2_f, pad_p2), None, v_rolls_f, False, p1, restart,
+        block_rows)
+    part_v = _directional_scan_group(
+        cost_v, jnp.pad(p2_b, pad_p2), part_v, v_rolls_b, True, p1, restart,
+        block_rows)[:, :h]
+
+    # ---- horizontal groups on the (W, D, H) view -------------------------
+    cost_t = jnp.pad(cost8.transpose(0, 3, 2, 1), ((0, 0), (0, wp - w), (0, 0), (0, 0)))
+    img_t = img.transpose(0, 2, 1)
+    p2_hf = _p2_planes(img_t, (0,), +1, p1, p2i)
+    p2_hb = _p2_planes(img_t, (0,), -1, p1, p2i)
+    pad_p2t = ((0, 0), (0, 0), (0, wp - w), (0, 0))
+    part_h = _directional_scan_group(
+        cost_t, jnp.pad(p2_hf, pad_p2t), None, (0,), False, p1, restart,
+        block_rows)
+    part_h = _directional_scan_group(
+        cost_t, jnp.pad(p2_hb, pad_p2t), part_h, (0,), True, p1, restart,
+        block_rows)[:, :w]
+
+    out = part_v + part_h.transpose(0, 3, 2, 1)
+    return out[0] if unbatched else out
+
+
+# Ops not yet kernelised fall back to their jnp implementations (XLA fuses
+# the elementwise stages well; the scan above is where Pallas pays).
+from .census import census_5x5  # noqa: F401, E402
+from .cost_volume import hamming_cost_volume  # noqa: F401, E402
