@@ -24,7 +24,7 @@ from ..ops.aggregation import aggregate_paths
 from ..ops.census import census_5x5
 from ..ops.cost_volume import hamming_cost_volume
 from ..ops.postprocess import lr_check, median_filter_3x3, remove_speckles
-from ..ops.wta import compute_disparity
+from ..ops.wta import compute_disparity, finalize_disparity
 
 
 @functools.partial(jax.jit, static_argnames=("options", "diagonal_mode", "use_pallas"))
@@ -60,10 +60,21 @@ def sgm_forward(
     # entries diverge without it (TPU v5e, jax 0.9).
     aggr = jax.lax.optimization_barrier(aggr)
 
-    disp = compute_disparity(aggr, options, inverse=False)
-    if options.is_check_lr:
-        disp_right = compute_disparity(aggr, options, inverse=True)
-        disp = lr_check(disp, disp_right, options.lrcheck_thres)
+    if use_pallas:
+        from ..ops import pallas_kernels as pk
+
+        fwd, inv = pk.wta_reduce_pallas(aggr, options, options.is_check_lr)
+        disp = finalize_disparity(fwd, options)
+        if options.is_check_lr:
+            disp = lr_check(disp, finalize_disparity(inv, options),
+                            options.lrcheck_thres,
+                            max_shift=max(options.max_disparity, 1))
+    else:
+        disp = compute_disparity(aggr, options, inverse=False)
+        if options.is_check_lr:
+            disp_right = compute_disparity(aggr, options, inverse=True)
+            disp = lr_check(disp, disp_right, options.lrcheck_thres,
+                            max_shift=max(options.max_disparity, 1))
     if options.is_remove_speckles:
         spk = lambda d: remove_speckles(d, 1.0, options.min_speckle_area)
         if disp.ndim == 2:

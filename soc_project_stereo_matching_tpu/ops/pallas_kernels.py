@@ -238,6 +238,119 @@ def aggregate_paths(
     return out[0] if unbatched else out
 
 
+BIG = 1 << 30
+_U16 = 65535
+
+
+def _wta_kernel(aggr_ref, *out_refs, rows: int, d: int, w: int,
+                dmin: int, include_inverse: bool):
+    """WTA volume reductions for one (batch, row-chunk) block.
+
+    Forward view: first-argmin/min/second-min/neighbour costs over the d
+    axis via a packed (cost << 8 | d) key min — ties break to the smaller
+    d, matching the reference's first-minimum scan.
+
+    Inverse view (``ComputeDisparity`` with inverse, SemiGlobalMatching.c
+    :394-409): right cost R[r, k, j] = aggr[r, k, j + dmin + k], out of
+    range -> UINT16_MAX.  The shear is applied lane-roll-by-lane-roll in a
+    static d loop on (R, W) planes — no gathers.
+    """
+    a = aggr_ref[0].astype(jnp.int32)                        # (R, D, W)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (rows, d, w), 1)
+
+    key = (a << 8) | kidx
+    kmin = jnp.min(key, axis=1)                              # (R, W)
+    best = kmin & 0xFF
+    minc = kmin >> 8
+    bestb = best[:, None, :]
+    onbest = kidx == bestb
+    sec = jnp.min(jnp.where(onbest, BIG, a), axis=1)
+    up = jnp.where(kidx == 0, a, _roll(a, 1, axis=1))        # cost[clip(k-1)]
+    dn = jnp.where(kidx == d - 1, a, _roll(a, -1, axis=1))   # cost[clip(k+1)]
+    c1 = jnp.min(jnp.where(onbest, up, BIG), axis=1)
+    c2 = jnp.min(jnp.where(onbest, dn, BIG), axis=1)
+
+    outs = [best, minc, sec, c1, c2]
+
+    if include_inverse:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
+
+        def sheared(k):
+            dd = dmin + k
+            plane = a[:, k, :]
+            valid = (lane + dd >= 0) & (lane + dd < w)
+            return jnp.where(valid, _roll(plane, -dd, axis=1), _U16)
+
+        rkey = jnp.full((rows, w), (_U16 << 8) | 0xFF, jnp.int32)
+        for k in range(d):
+            rkey = jnp.minimum(rkey, (sheared(k) << 8) | k)
+        rbest = rkey & 0xFF
+        rminc = rkey >> 8
+
+        rsec = jnp.full((rows, w), BIG, jnp.int32)
+        rc1 = jnp.zeros((rows, w), jnp.int32)
+        rc2 = jnp.zeros((rows, w), jnp.int32)
+        prev = None
+        cur = None
+        for k in range(d):
+            cur = sheared(k)
+            rsec = jnp.minimum(rsec, jnp.where(rbest == k, BIG, cur))
+            rc1 = rc1 + jnp.where(rbest == k, cur if k == 0 else prev, 0)
+            if k > 0:
+                rc2 = rc2 + jnp.where(rbest == k - 1, cur, 0)
+            prev = cur
+        rc2 = rc2 + jnp.where(rbest == d - 1, cur, 0)
+        outs += [rbest, rminc, rsec, rc1, rc2]
+
+    for ref, val in zip(out_refs, outs):
+        ref[0] = val
+
+
+@functools.partial(
+    jax.jit, static_argnames=("options", "include_inverse", "block_rows"))
+def wta_reduce_pallas(aggr: jnp.ndarray, options: SGMOptions,
+                      include_inverse: bool = True, block_rows: int = 16):
+    """aggr (..., H, D, W) uint16 -> (forward WTAPlanes, inverse or None).
+
+    One streaming pass over the volume computes both views' reduction
+    planes; ``wta.finalize_disparity`` turns them into disparities.
+    """
+    from .wta import WTAPlanes
+
+    unbatched = aggr.ndim == 3
+    if unbatched:
+        aggr = aggr[None]
+    b, h, d, w = aggr.shape
+    hp = _round_up(h, block_rows)
+    aggr_p = jnp.pad(aggr, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
+    grid = (b, hp // block_rows)
+
+    n_out = 10 if include_inverse else 5
+    plane_spec = pl.BlockSpec(
+        (1, block_rows, w), lambda bi, ci: (bi, ci, 0), memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _wta_kernel, rows=block_rows, d=d, w=w,
+            dmin=options.min_disparity, include_inverse=include_inverse),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, block_rows, d, w),
+                               lambda bi, ci: (bi, ci, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[plane_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((b, hp, w), jnp.int32)] * n_out,
+        interpret=_interpret(),
+    )(aggr_p)
+
+    def crop(x):
+        x = x[:, :h]
+        return x[0] if unbatched else x
+
+    fwd = WTAPlanes(*(crop(o) for o in outs[:5]))
+    inv = WTAPlanes(*(crop(o) for o in outs[5:])) if include_inverse else None
+    return fwd, inv
+
+
 # Ops not yet kernelised fall back to their jnp implementations (XLA fuses
 # the elementwise stages well; the scan above is where Pallas pays).
 from .census import census_5x5  # noqa: F401, E402

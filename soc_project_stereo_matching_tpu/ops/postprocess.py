@@ -30,16 +30,23 @@ _INF = float("inf")  # lazily converted; avoids backend init at import time
 _OFFSETS8 = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
 
 
-@partial(jax.jit, static_argnames=("thres",))
+@partial(jax.jit, static_argnames=("thres", "max_shift"))
 def lr_check(
     disp_left: jnp.ndarray,
     disp_right: jnp.ndarray,
     thres: float,
+    max_shift: int = 0,
 ) -> jnp.ndarray:
     """Invalidate left disparities inconsistent with the right map.
 
     Keeps pixels whose right counterpart is itself invalid (the reference
-    ``continue``s in that case, :457-460)."""
+    ``continue``s in that case, :457-460).
+
+    TPU note: ``disp_right[j - round(disp)]`` is a per-lane gather, which
+    TPU executes near-serially.  Since the shift is bounded by the
+    disparity range, it is instead computed as a (max_shift+2)-way select
+    over lane-rolled copies of the right map — pure VPU work.  max_shift=0
+    derives the bound from the finite values present (safe cap: W)."""
     w = disp_left.shape[-1]
     cols = jnp.arange(w, dtype=jnp.float32)
     valid = jnp.isfinite(disp_left)
@@ -47,8 +54,14 @@ def lr_check(
     # (int32)(j - disp + 0.5) truncates toward zero
     col_right = jnp.trunc(cols - dl + jnp.float32(0.5)).astype(jnp.int32)
     in_range = (col_right >= 0) & (col_right < w)
-    cr = jnp.clip(col_right, 0, w - 1)
-    disp_r = jnp.take_along_axis(disp_right, cr, axis=-1)
+
+    shift = jnp.arange(w, dtype=jnp.int32) - col_right   # j - col_right
+    if max_shift <= 0:
+        max_shift = w - 1
+    disp_r = jnp.zeros_like(disp_right)
+    for k in range(-1, min(max_shift, w - 1) + 2):
+        disp_r = jnp.where(shift == k, jnp.roll(disp_right, k, axis=-1), disp_r)
+
     dr = jnp.where(jnp.isfinite(disp_r), disp_r, 0.0)
     mismatch = jnp.abs(dl - dr) > jnp.float32(thres)
     kill = valid & (~in_range | (jnp.isfinite(disp_r) & mismatch))
@@ -158,14 +171,22 @@ def remove_speckles(
 def median_filter_3x3(disp: jnp.ndarray) -> jnp.ndarray:
     """Out-of-place 3x3 median; 1-px border untouched.
 
+    Median-of-9 via Paeth's 19-exchange min/max network — a straight-line
+    VPU program XLA fuses fully (jnp.sort materialises 9 sorted planes).
+    +inf invalid markers order correctly under min/max.
+
     (The reference applies its median in place — a raster-scan recurrence
     that is inherently sequential; see SGMOptions.median_inplace.  The
     out-of-place filter is the TPU-native default.)"""
     h, w = disp.shape[-2], disp.shape[-1]
-    win = jnp.stack(
-        [disp[..., 1 + r:h - 1 + r, 1 + c:w - 1 + c]
-         for r in (-1, 0, 1) for c in (-1, 0, 1)],
-        axis=0,
-    )
-    med = jnp.sort(win, axis=0)[4]
-    return disp.at[..., 1:h - 1, 1:w - 1].set(med)
+    p = [disp[..., 1 + r:h - 1 + r, 1 + c:w - 1 + c]
+         for r in (-1, 0, 1) for c in (-1, 0, 1)]
+
+    def ex(i, j):
+        p[i], p[j] = jnp.minimum(p[i], p[j]), jnp.maximum(p[i], p[j])
+
+    for i, j in ((1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2),
+                 (4, 5), (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4),
+                 (2, 5), (4, 7), (4, 2), (6, 4), (4, 2)):
+        ex(i, j)
+    return disp.at[..., 1:h - 1, 1:w - 1].set(p[4])

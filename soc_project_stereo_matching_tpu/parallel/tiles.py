@@ -153,7 +153,8 @@ def _tiled_forward_single(
     disp = compute_disparity(aggr, options, inverse=False)
     if options.is_check_lr:
         disp_r = compute_disparity(aggr, options, inverse=True)
-        disp = lr_check(disp, disp_r, options.lrcheck_thres)
+        disp = lr_check(disp, disp_r, options.lrcheck_thres,
+                        max_shift=max(options.max_disparity, 1))
 
     ht = disp.shape[-2]
     my = jax.lax.axis_index(axis_name) if k > 1 else 0
