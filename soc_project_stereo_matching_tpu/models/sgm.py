@@ -76,13 +76,18 @@ def sgm_forward(
             disp = lr_check(disp, disp_right, options.lrcheck_thres,
                             max_shift=max(options.max_disparity, 1))
     if options.is_remove_speckles:
-        spk = lambda d: remove_speckles(d, 1.0, options.min_speckle_area)
-        if disp.ndim == 2:
-            disp = spk(disp)
+        if use_pallas:
+            from ..ops import pallas_kernels as pk
+
+            disp = pk.remove_speckles_pallas(disp, 1.0, options.min_speckle_area)
+        elif disp.ndim == 2:
+            disp = remove_speckles(disp, 1.0, options.min_speckle_area)
         else:
             batch = disp.shape[:-2]
             flat = disp.reshape((-1,) + disp.shape[-2:])
-            disp = jax.vmap(spk)(flat).reshape(batch + disp.shape[-2:])
+            disp = jax.vmap(
+                lambda d: remove_speckles(d, 1.0, options.min_speckle_area)
+            )(flat).reshape(batch + disp.shape[-2:])
     return median_filter_3x3(disp)
 
 

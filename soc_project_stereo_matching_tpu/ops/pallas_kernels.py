@@ -351,6 +351,138 @@ def wta_reduce_pallas(aggr: jnp.ndarray, options: SGMOptions,
     return fwd, inv
 
 
+def _ceil_log2(n: int) -> int:
+    k = 0
+    while (1 << k) < n:
+        k += 1
+    return k
+
+
+def _speckle_labels_kernel(disp_ref, out_ref, lab_ref, mask_ref,
+                           *, h: int, w: int, diff: float):
+    """Connected-component min-labels for one frame, entirely in VMEM.
+
+    Edge masks (8-connectivity, both finite, |dd| <= diff) are packed into
+    one int32 bitmask plane; each while round applies segmented min over
+    horizontal and vertical runs (Hillis-Steele doubling with explicit
+    identity shift-in, no wrap contamination) plus 4 masked diagonal
+    shift-mins.  Convergence = fixed point = per-component-constant labels
+    = the component minimum (see ops/postprocess.remove_speckles).
+    """
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    disp = disp_ref[0]
+    finite = disp < jnp.float32(1e30)
+    finite_i = finite.astype(jnp.int32)   # Mosaic can't rotate 1-bit vectors
+    d = jnp.where(finite, disp, jnp.float32(1e30))
+
+    def edge(dr, dc):
+        """True where pixel links to neighbour at (r+dr, c+dc)."""
+        nd = _roll(_roll(d, -dr, 0), -dc, 1)
+        nf = _roll(_roll(finite_i, -dr, 0), -dc, 1) != 0
+        ok = finite & nf & (jnp.abs(d - nd) <= jnp.float32(diff))
+        if dr > 0:
+            ok &= row_iota < h - dr
+        elif dr < 0:
+            ok &= row_iota >= -dr
+        if dc > 0:
+            ok &= lane_iota < w - dc
+        elif dc < 0:
+            ok &= lane_iota >= -dc
+        return ok
+
+    # bit 0: link to (r, c-1);  bit 1: link to (r-1, c);  bits 2-5: diagonals
+    offsets = ((0, -1), (-1, 0), (-1, -1), (-1, 1), (1, -1), (1, 1))
+    masks = jnp.zeros((h, w), jnp.int32)
+    for bit, (dr, dc) in enumerate(offsets):
+        masks = masks | jnp.where(edge(dr, dc), 1 << bit, 0)
+    mask_ref[...] = masks
+    lab_ref[...] = row_iota * w + lane_iota
+
+    big = jnp.int32(h * w)
+
+    def seg_min_doubling(lab, conn, axis, n):
+        """Segmented min over runs along `axis`; conn (int32 0/1) links k
+        to k-1.  Explicit identity shift-in at the array edge keeps the
+        circular rolls from contaminating runs."""
+        fwd_c, fwd_v = conn, lab
+        bwd_c, bwd_v = _roll(conn, -1, axis), lab  # bwd link: k to k+1
+        iota = row_iota if axis == 0 else lane_iota
+        for step in range(_ceil_log2(n)):
+            s = 1 << step
+            ok = iota >= s
+            fwd_v = jnp.minimum(fwd_v, jnp.where(
+                (fwd_c != 0) & ok, _roll(fwd_v, s, axis), big))
+            fwd_c = fwd_c & jnp.where(ok, _roll(fwd_c, s, axis), 0)
+            ok_b = iota < n - s
+            bwd_v = jnp.minimum(bwd_v, jnp.where(
+                (bwd_c != 0) & ok_b, _roll(bwd_v, -s, axis), big))
+            bwd_c = bwd_c & jnp.where(ok_b, _roll(bwd_c, -s, axis), 0)
+        return jnp.minimum(fwd_v, bwd_v)
+
+    def body(state):
+        _, it = state
+        lab = lab_ref[...]
+        m = mask_ref[...]
+        new = seg_min_doubling(lab, m & 1, 1, w)
+        new = seg_min_doubling(new, (m >> 1) & 1, 0, h)
+        for bit, (dr, dc) in zip((2, 3, 4, 5), offsets[2:]):
+            nl = _roll(_roll(new, -dr, 0), -dc, 1)
+            new = jnp.minimum(new, jnp.where((m & (1 << bit)) != 0, nl, big))
+        lab_ref[...] = new
+        return jnp.any(new != lab), it + 1
+
+    jax.lax.while_loop(lambda s: s[0], body, (jnp.bool_(True), jnp.int32(0)))
+    out_ref[0] = lab_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("diff_insame", "min_area"))
+def remove_speckles_pallas(disp: jnp.ndarray, diff_insame: float = 1.0,
+                           min_area: int = 50) -> jnp.ndarray:
+    """Pallas connected-component speckle filter, bit-exact vs the
+    reference BFS (same fixed point as postprocess.remove_speckles).
+
+    disp: (..., H, W) float32 with +inf invalid."""
+    unbatched = disp.ndim == 2
+    if unbatched:
+        disp = disp[None]
+    batch = disp.shape[:-2]
+    h, w = disp.shape[-2:]
+    flat = disp.reshape((-1, h, w))
+    b = flat.shape[0]
+
+    labels = pl.pallas_call(
+        functools.partial(_speckle_labels_kernel, h=h, w=w,
+                          diff=float(diff_insame)),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, h, w), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((h, w), jnp.int32),
+            pltpu.VMEM((h, w), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(flat)
+
+    finite = jnp.isfinite(flat)
+    n = h * w
+    counts = jax.vmap(
+        lambda lab, fin: jnp.zeros((n,), jnp.int32).at[lab.reshape(-1)].add(
+            fin.reshape(-1).astype(jnp.int32))
+    )(labels, finite)
+    small = jnp.take_along_axis(
+        counts, labels.reshape(b, -1), axis=-1).reshape(b, h, w) < min_area
+    out = jnp.where(finite & small, jnp.float32(jnp.inf), flat)
+    out = out.reshape(batch + (h, w))
+    return out[0] if unbatched else out
+
+
 # Ops not yet kernelised fall back to their jnp implementations (XLA fuses
 # the elementwise stages well; the scan above is where Pallas pays).
 from .census import census_5x5  # noqa: F401, E402
