@@ -37,20 +37,23 @@ def sgm_forward(
 ) -> jnp.ndarray:
     """uint8 (..., H, W) stereo pair -> float32 (..., H, W) disparity
     (+inf invalid).  Accepts an optional leading batch dimension."""
-    cl = census_5x5(img_left)
-    cr = census_5x5(img_right)
-    cost = hamming_cost_volume(cl, cr, options.min_disparity, options.max_disparity)
-
     if use_pallas:
         from ..ops import pallas_kernels as pk
 
+        cost = pk.census_cost_volume_pallas(
+            img_left, img_right, options.min_disparity, options.max_disparity)
         aggr = pk.aggregate_paths(cost, img_left, options, diagonal_mode)
-    elif img_left.ndim == 2:
-        aggr = aggregate_paths(cost, img_left, options, diagonal_mode)
     else:
-        aggr = jax.vmap(
-            lambda c, i: aggregate_paths(c, i, options, diagonal_mode)
-        )(cost, img_left)
+        cl = census_5x5(img_left)
+        cr = census_5x5(img_right)
+        cost = hamming_cost_volume(
+            cl, cr, options.min_disparity, options.max_disparity)
+        if img_left.ndim == 2:
+            aggr = aggregate_paths(cost, img_left, options, diagonal_mode)
+        else:
+            aggr = jax.vmap(
+                lambda c, i: aggregate_paths(c, i, options, diagonal_mode)
+            )(cost, img_left)
 
     # XLA TPU miscompiles the fused (vmapped scan sum) -> (two argmin
     # consumers incl. a shifted view) pattern: the uint16 aggregation output

@@ -437,6 +437,89 @@ def _speckle_labels_kernel(disp_ref, out_ref, lab_ref, mask_ref,
     out_ref[0] = lab_ref[...]
 
 
+_LO = 512  # low-radix of the MXU histogram
+
+
+def _hist_kernel(lab_ref, fin_ref, out_ref, *, pc: int, khi: int, npad: int):
+    """MXU histogram: label l splits into (l>>9, l&511); per chunk the two
+    one-hot matrices (built in VMEM, pixels on the lane axis) contract on
+    the MXU into a (KHI, 512) f32 count plane.  Replaces XLA scatter-add,
+    which TPU executes near-serially."""
+    acc = jnp.zeros((khi, _LO), jnp.float32)
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (khi, pc), 0)
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LO, pc), 0)
+    for c in range(0, npad, pc):
+        lab = lab_ref[0, :, c:c + pc]                     # (1, Pc) int32
+        fin = fin_ref[0, :, c:c + pc]
+        a = ((lab >> 9) == hi_iota) & (fin != 0)          # (KHI, Pc)
+        bm = (lab & (_LO - 1)) == lo_iota                 # (LO, Pc)
+        acc += jax.lax.dot_general(
+            a.astype(jnp.bfloat16), bm.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out_ref[0] = acc
+
+
+def _hist_lookup_kernel(lab_ref, small_t_ref, out_ref, *, pc: int, khi: int,
+                        npad: int):
+    """small[p] = small2d[l>>9, l&511] via one MXU contraction + masked
+    sublane reduce — the gather-free counts[labels] lookup."""
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (khi, pc), 0)
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LO, pc), 0)
+    small_t = small_t_ref[0].astype(jnp.bfloat16)         # (LO, KHI)
+    for c in range(0, npad, pc):
+        lab = lab_ref[0, :, c:c + pc]
+        a = ((lab >> 9) == hi_iota).astype(jnp.bfloat16)  # (KHI, Pc)
+        tmp = jax.lax.dot_general(                        # (LO, Pc)
+            small_t, a,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        bm = (lab & (_LO - 1)) == lo_iota
+        out_ref[0, :, c:c + pc] = jnp.sum(
+            jnp.where(bm, tmp, 0.0), axis=0, keepdims=True).astype(jnp.int32)
+
+
+def _small_label_mask(labels: jnp.ndarray, finite: jnp.ndarray,
+                      min_area: int) -> jnp.ndarray:
+    """(B, N) int32 labels -> bool mask of pixels whose label's finite
+    count is in (0, min_area).  Exact: counts < 2^24 accumulate exactly in
+    f32; one-hots are exact in bf16."""
+    b, n = labels.shape
+    pc = 2048
+    npad = _round_up(n, pc)
+    khi = npad // _LO
+    lab_p = jnp.pad(labels, ((0, 0), (0, npad - n))).reshape(b, 1, npad)
+    fin_p = jnp.pad(finite.astype(jnp.int32),
+                    ((0, 0), (0, npad - n))).reshape(b, 1, npad)
+    row_spec = pl.BlockSpec((1, 1, npad), lambda bi: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    counts = pl.pallas_call(
+        functools.partial(_hist_kernel, pc=pc, khi=khi, npad=npad),
+        grid=(b,),
+        in_specs=[row_spec, row_spec],
+        out_specs=pl.BlockSpec((1, khi, _LO), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, khi, _LO), jnp.float32),
+        interpret=_interpret(),
+    )(lab_p, fin_p)
+
+    small_t = ((counts > 0) & (counts < min_area)).astype(
+        jnp.bfloat16).transpose(0, 2, 1)                  # (B, LO, KHI)
+
+    small = pl.pallas_call(
+        functools.partial(_hist_lookup_kernel, pc=pc, khi=khi, npad=npad),
+        grid=(b,),
+        in_specs=[row_spec,
+                  pl.BlockSpec((1, _LO, khi), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((b, 1, npad), jnp.int32),
+        interpret=_interpret(),
+    )(lab_p, small_t)
+    return small.reshape(b, npad)[:, :n] > 0
+
+
 @functools.partial(jax.jit, static_argnames=("diff_insame", "min_area"))
 def remove_speckles_pallas(disp: jnp.ndarray, diff_insame: float = 1.0,
                            min_area: int = 50) -> jnp.ndarray:
@@ -471,16 +554,105 @@ def remove_speckles_pallas(disp: jnp.ndarray, diff_insame: float = 1.0,
     )(flat)
 
     finite = jnp.isfinite(flat)
-    n = h * w
-    counts = jax.vmap(
-        lambda lab, fin: jnp.zeros((n,), jnp.int32).at[lab.reshape(-1)].add(
-            fin.reshape(-1).astype(jnp.int32))
-    )(labels, finite)
-    small = jnp.take_along_axis(
-        counts, labels.reshape(b, -1), axis=-1).reshape(b, h, w) < min_area
+    small = _small_label_mask(
+        labels.reshape(b, -1), finite.reshape(b, -1), min_area
+    ).reshape(b, h, w)
     out = jnp.where(finite & small, jnp.float32(jnp.inf), flat)
     out = out.reshape(batch + (h, w))
     return out[0] if unbatched else out
+
+
+def _popcount32(x: jnp.ndarray) -> jnp.ndarray:
+    """SWAR popcount for int32 census XORs (<= 25 bits set)."""
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    return (x * 0x01010101) >> 24
+
+
+def _census_cost_kernel(imgl_ref, imgr_ref, out_ref, *, rows: int, h: int,
+                        w: int, dmin: int, dmax: int):
+    """Fused 5x5 census + Hamming cost volume for one row chunk.
+
+    Reference: census_transform_5x5 (SemiGlobalMatching.c:134-159) and
+    ComputeCost/Hamming32 (:161-196).  Images arrive 2-row-padded so the
+    census halo never leaves VMEM; lane rolls only contaminate the 2-px
+    census border, which is masked to code 0 exactly like the reference's
+    never-written border rows."""
+    r0 = pl.program_id(1) * rows  # top row of this chunk (unpadded coords)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0) + r0
+    interior = (row >= 2) & (row < h - 2) & (lane >= 2) & (lane < w - 2)
+
+    def census(img_ref):
+        # One aligned slab load (r0 is a multiple of the block size; Mosaic
+        # requires provably 8-aligned dynamic sublane offsets), halo rows
+        # via static in-register slices.
+        slab = img_ref[0, pl.ds(r0, rows + 8)]
+        center = slab[2:2 + rows]
+        val = jnp.zeros((rows, w), jnp.int32)
+        for dr in range(-2, 3):
+            neigh_rows = slab[2 + dr:2 + dr + rows]
+            for dc in range(-2, 3):
+                neigh = _roll(neigh_rows, -dc, 1) if dc else neigh_rows
+                val = (val << 1) | (neigh < center).astype(jnp.int32)
+        return jnp.where(interior, val, 0)
+
+    cl = census(imgl_ref)
+    cr = census(imgr_ref)
+
+    for k, d in enumerate(range(dmin, dmax)):
+        shifted = _roll(cr, d, 1) if d % w else cr     # cr[j - d]
+        ham = _popcount32(cl ^ shifted)
+        oob = (lane - d < 0) | (lane - d >= w)
+        # int32 store: Mosaic rejects sublane-strided int8 stores
+        out_ref[0, :, k, :] = jnp.where(oob, 127, ham)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("min_disparity", "max_disparity", "block_rows"))
+def census_cost_volume_pallas(
+    img_left: jnp.ndarray,
+    img_right: jnp.ndarray,
+    min_disparity: int,
+    max_disparity: int,
+    block_rows: int = 32,
+) -> jnp.ndarray:
+    """uint8 (..., H, W) pair -> (..., H, D, W) uint8 cost volume, fusing
+    census_5x5 + hamming_cost_volume in one pass (bit-equal to both)."""
+    unbatched = img_left.ndim == 2
+    if unbatched:
+        img_left, img_right = img_left[None], img_right[None]
+    batch = img_left.shape[:-2]
+    h, w = img_left.shape[-2:]
+    d = max_disparity - min_disparity
+    flat_l = img_left.reshape((-1, h, w))
+    flat_r = img_right.reshape((-1, h, w))
+    b = flat_l.shape[0]
+    hp = _round_up(h, block_rows)
+
+    # 2-row census halo + slab-alignment padding, all resolved host-side.
+    # int32 planes: Mosaic can't vector.load int8 at dynamic sublane offsets.
+    pad = ((0, 0), (2, hp - h + 6), (0, 0))
+    pl_pad = jnp.pad(flat_l.astype(jnp.int32), pad)
+    pr_pad = jnp.pad(flat_r.astype(jnp.int32), pad)
+
+    img_spec = pl.BlockSpec((1, hp + 8, w), lambda bi, ci: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    cost = pl.pallas_call(
+        functools.partial(_census_cost_kernel, rows=block_rows, h=h, w=w,
+                          dmin=min_disparity, dmax=max_disparity),
+        grid=(b, hp // block_rows),
+        in_specs=[img_spec, img_spec],
+        out_specs=pl.BlockSpec((1, block_rows, d, w),
+                               lambda bi, ci: (bi, ci, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hp, d, w), jnp.int32),
+        interpret=_interpret(),
+    )(pl_pad, pr_pad)
+
+    cost = cost[:, :h].astype(jnp.uint8).reshape(batch + (h, d, w))
+    return cost[0] if unbatched else cost
 
 
 # Ops not yet kernelised fall back to their jnp implementations (XLA fuses
