@@ -29,8 +29,8 @@ import time
 import numpy as np
 
 BASELINE_FPS = 1.4
-BATCH = 8
-ITERS = 20
+BATCH = 32
+ITERS = 10
 
 
 def log(msg: str) -> None:
@@ -90,6 +90,37 @@ def main() -> None:
 
     valid = float(np.isfinite(np.asarray(out[0])).mean())
     log(f"sanity: valid_frac={valid:.3f}")
+
+    # Aggregation-kernel roofline diagnostic (BASELINE.md): bytes the four
+    # DP-scan launches move per frame vs v5e HBM peak (~819 GB/s).  The
+    # kernel is compute-bound by design (int32 VPU DP steps), so GB/s sits
+    # well under the bandwidth roofline.
+    try:
+        import jax.numpy as jnp  # noqa: F811
+        from soc_project_stereo_matching_tpu.ops import pallas_kernels as pk
+        from soc_project_stereo_matching_tpu import SGMOptions as _SO
+
+        opts = _SO()
+        h, w, d = left.shape[0], left.shape[1], opts.max_disparity
+        cost = jnp.zeros((BATCH, h, d, w), jnp.uint8)
+        imgs = jnp.zeros((BATCH, h, w), jnp.uint8)
+        chain = jax.jit(lambda c: (
+            pk.aggregate_paths(c, imgs, opts) & 0x7F).astype(jnp.uint8))
+        x = chain(cost)
+        _ = jax.device_get(x[0, 0, 0, 0])
+        t0 = time.perf_counter()
+        x = cost
+        for _ in range(5):
+            x = chain(x)
+        _ = jax.device_get(x[0, 0, 0, 0])
+        dt_a = (time.perf_counter() - t0) / 5 / BATCH
+        vol = h * d * w
+        bytes_frame = 4 * vol + 8 * h * w * 4 + 2 * vol * 2 + 4 * vol * 2
+        gbs = bytes_frame / dt_a / 1e9
+        log(f"aggregation kernel: {dt_a * 1e3:.3f} ms/frame, "
+            f"{gbs:.0f} GB/s vs ~819 GB/s HBM roofline (compute-bound)")
+    except Exception as e:  # diagnostics only — never break the bench
+        log(f"roofline diagnostic skipped: {e}")
 
     print(json.dumps({
         "metric": "frames_per_sec_per_chip",
