@@ -54,11 +54,6 @@ class SGMOptions:
     # bit-exact golden comparison).
     median_inplace: bool = False
 
-    # Speckle-removal iteration cap for the on-device connected-components
-    # labelling (pointer-jumping converges in O(log diameter); None = derive
-    # a safe bound from the image size).
-    speckle_max_iters: Optional[int] = None
-
     def __post_init__(self) -> None:
         if self.max_disparity <= self.min_disparity:
             raise ValueError(
@@ -73,6 +68,17 @@ class SGMOptions:
     @property
     def disp_range(self) -> int:
         return self.max_disparity - self.min_disparity
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "SGMOptions":
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(d) - known
+        if unknown:
+            raise ValueError(f"unknown SGMOptions fields: {sorted(unknown)}")
+        return cls(**d)
 
 
 # Reference CLI configuration, for convenience in tests/benchmarks.
@@ -102,3 +108,31 @@ class EngineConfig:
 
     # Batch size per chip for the batched evaluation harness.
     batch_per_chip: int = 8
+
+
+def load_yaml_config(path) -> Tuple[SGMOptions, EngineConfig]:
+    """Load ``{sgm: {...}, engine: {...}}`` YAML into config dataclasses.
+
+    The reference has no config files at all (constants + struct literals,
+    SURVEY.md section 5); this is the framework's YAML/CLI layer."""
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    opts = SGMOptions.from_dict(raw.get("sgm", {}))
+    eng_raw = dict(raw.get("engine", {}))
+    known = {f.name for f in dataclasses.fields(EngineConfig)}
+    unknown = set(eng_raw) - known
+    if unknown:
+        raise ValueError(f"unknown EngineConfig fields: {sorted(unknown)}")
+    return opts, EngineConfig(**eng_raw)
+
+
+def save_yaml_config(path, options: SGMOptions,
+                     engine: EngineConfig = EngineConfig()) -> None:
+    import yaml
+
+    with open(path, "w") as f:
+        yaml.safe_dump(
+            {"sgm": dataclasses.asdict(options),
+             "engine": dataclasses.asdict(engine)}, f, sort_keys=False)
