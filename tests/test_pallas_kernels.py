@@ -1,0 +1,98 @@
+"""Pallas kernel parity vs the jnp ops layer (interpret mode on CPU).
+
+Every kernel must be bit-equal to its jnp fallback, which is itself pinned
+against the numpy oracle and the reference-C goldens (test_ops_vs_oracle /
+test_oracle_golden) — so equality here closes the chain kernel == C.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from soc_project_stereo_matching_tpu import SGMOptions
+from soc_project_stereo_matching_tpu.ops import (
+    aggregation, census, cost_volume, postprocess, wta)
+from soc_project_stereo_matching_tpu.ops import pallas_kernels as pk
+
+H, W, D = 37, 53, 16
+RNG = np.random.default_rng(7)
+
+
+@pytest.fixture(scope="module")
+def data():
+    cost = jnp.asarray(RNG.integers(0, 128, (H, D, W), dtype=np.uint8))
+    img = jnp.asarray(RNG.integers(0, 256, (H, W), dtype=np.uint8))
+    return cost, img
+
+
+@pytest.mark.parametrize("paths", [8, 4])
+@pytest.mark.parametrize("mode", ["wrap", "restart"])
+def test_aggregation_kernel_parity(data, paths, mode):
+    cost, img = data
+    opt = SGMOptions(num_paths=paths, max_disparity=D)
+    want = np.asarray(aggregation.aggregate_paths(cost, img, opt, mode))
+    got = np.asarray(pk.aggregate_paths(cost, img, opt, mode, block_rows=8))
+    np.testing.assert_array_equal(want, got)
+
+
+def test_aggregation_kernel_batched(data):
+    cost, img = data
+    opt = SGMOptions(max_disparity=D)
+    costb = jnp.stack([cost, cost[::-1]])
+    imgb = jnp.stack([img, img[::-1]])
+    want = np.stack([
+        np.asarray(aggregation.aggregate_paths(costb[i], imgb[i], opt))
+        for i in range(2)])
+    got = np.asarray(pk.aggregate_paths(costb, imgb, opt, block_rows=8))
+    np.testing.assert_array_equal(want, got)
+
+
+def test_wta_kernel_parity(data):
+    cost, img = data
+    opt = SGMOptions(max_disparity=D)
+    aggr = aggregation.aggregate_paths(cost, img, opt)
+    fwd, inv = pk.wta_reduce_pallas(aggr, opt, include_inverse=True,
+                                    block_rows=8)
+    want_f = wta.wta_reduce(aggr, opt, inverse=False)
+    want_i = wta.wta_reduce(aggr, opt, inverse=True)
+    for got, want in zip(fwd, want_f):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    for got, want in zip(inv, want_i):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # disparity finalisation on kernel planes == compute_disparity
+    np.testing.assert_array_equal(
+        np.asarray(wta.finalize_disparity(fwd, opt)),
+        np.asarray(wta.compute_disparity(aggr, opt, inverse=False)))
+
+
+def test_census_cost_kernel_parity():
+    il = jnp.asarray(RNG.integers(0, 256, (2, 40, 61), dtype=np.uint8))
+    ir = jnp.asarray(RNG.integers(0, 256, (2, 40, 61), dtype=np.uint8))
+    want = cost_volume.hamming_cost_volume(
+        census.census_5x5(il), census.census_5x5(ir), 0, D)
+    got = pk.census_cost_volume_pallas(il, ir, 0, D, block_rows=8)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_speckle_kernel_parity():
+    d = RNG.integers(0, 8, (2, 47, 61)).astype(np.float32)
+    d[RNG.random((2, 47, 61)) < 0.35] = np.inf
+    dj = jnp.asarray(d)
+    want = np.stack([
+        np.asarray(postprocess.remove_speckles(dj[i], 1.0, 9))
+        for i in range(2)])
+    got = np.asarray(pk.remove_speckles_pallas(dj, 1.0, 9))
+    both_inf = np.isinf(want) & np.isinf(got)
+    assert ((np.isinf(want) == np.isinf(got)) & (both_inf | (want == got))).all()
+
+
+def test_full_pipeline_pallas_vs_jnp():
+    from soc_project_stereo_matching_tpu.models.sgm import sgm_forward
+
+    opt = SGMOptions(max_disparity=D, min_speckle_area=8)
+    il = jnp.asarray(RNG.integers(0, 256, (2, H, W), dtype=np.uint8))
+    ir = jnp.asarray(RNG.integers(0, 256, (2, H, W), dtype=np.uint8))
+    want = np.asarray(sgm_forward(il, ir, opt, use_pallas=False))
+    got = np.asarray(sgm_forward(il, ir, opt, use_pallas=True))
+    both_inf = np.isinf(want) & np.isinf(got)
+    assert ((np.isinf(want) == np.isinf(got)) & (both_inf | (want == got))).all()
