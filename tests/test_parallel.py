@@ -88,3 +88,12 @@ def test_graft_entry_dryrun():
         assert out.shape == args[0].shape
     finally:
         sys.path.pop(0)
+
+
+def test_multihost_single_process_helpers():
+    from soc_project_stereo_matching_tpu.parallel import multihost
+
+    multihost.initialize()  # no-op without coordinator env
+    assert multihost.process_local_batch(8) == 8
+    got = multihost.allsum_metrics({"sum_err": 2.5, "n": 10})
+    assert got == {"sum_err": 2.5, "n": 10.0}
