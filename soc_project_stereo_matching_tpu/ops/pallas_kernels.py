@@ -57,6 +57,20 @@ def _roll(x: jnp.ndarray, shift: int, axis: int) -> jnp.ndarray:
     return pltpu.roll(x, shift % x.shape[axis], axis=axis)
 
 
+# Volume kernels hold working sets well above the 16M default scoped-VMEM
+# cap for large (D, W) configs (e.g. Middlebury D=128); v5e has 128M.
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
+
+def _auto_block_rows(d: int, w: int, requested: int) -> int:
+    """Shrink the per-chunk row count so (rows, D, W) blocks stay VMEM-sized
+    regardless of the disparity range / image width."""
+    rows = requested
+    while rows > 8 and rows * d * w * 4 > 16 * 1024 * 1024:
+        rows //= 2
+    return rows
+
+
 def _scan_group_kernel(
     cost_ref, p2_ref, acc_ref, out_ref, carry_cost, carry_min,
     *, rows: int, d: int, w: int, rolls: Sequence[int], reverse: bool,
@@ -116,6 +130,8 @@ def _directional_scan_group(
     block_rows: int,
 ) -> jnp.ndarray:
     b, s, d, p = cost.shape
+    # shrink chunks for large (D, P); s is padded to a power-of-two multiple
+    block_rows = _auto_block_rows(d, p, block_rows)
     assert s % block_rows == 0, (s, block_rows)
     grid = (b, s // block_rows)
 
@@ -161,6 +177,7 @@ def _directional_scan_group(
             pltpu.VMEM((len(rolls), 1, p), jnp.int32),
         ],
         input_output_aliases=io_aliases,
+        compiler_params=_VMEM_PARAMS,
         interpret=_interpret(),
     )(*inputs)
 
@@ -321,6 +338,7 @@ def wta_reduce_pallas(aggr: jnp.ndarray, options: SGMOptions,
     if unbatched:
         aggr = aggr[None]
     b, h, d, w = aggr.shape
+    block_rows = _auto_block_rows(d, w, block_rows)
     hp = _round_up(h, block_rows)
     aggr_p = jnp.pad(aggr, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
     grid = (b, hp // block_rows)
@@ -339,6 +357,7 @@ def wta_reduce_pallas(aggr: jnp.ndarray, options: SGMOptions,
                                memory_space=pltpu.VMEM)],
         out_specs=[plane_spec] * n_out,
         out_shape=[jax.ShapeDtypeStruct((b, hp, w), jnp.int32)] * n_out,
+        compiler_params=_VMEM_PARAMS,
         interpret=_interpret(),
     )(aggr_p)
 
@@ -629,6 +648,7 @@ def census_cost_volume_pallas(
     flat_l = img_left.reshape((-1, h, w))
     flat_r = img_right.reshape((-1, h, w))
     b = flat_l.shape[0]
+    block_rows = _auto_block_rows(d, w, block_rows)
     hp = _round_up(h, block_rows)
 
     # 2-row census halo + slab-alignment padding, all resolved host-side.
@@ -648,6 +668,7 @@ def census_cost_volume_pallas(
                                lambda bi, ci: (bi, ci, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hp, d, w), jnp.int32),
+        compiler_params=_VMEM_PARAMS,
         interpret=_interpret(),
     )(pl_pad, pr_pad)
 
