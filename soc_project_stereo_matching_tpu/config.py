@@ -90,12 +90,6 @@ class EngineConfig:
     """Execution configuration for the TPU engine (no reference equivalent:
     the reference hardcodes everything at compile time)."""
 
-    # 'exact'  : integer arithmetic bit-matching the reference C (u8/u16
-    #            wrap-around included).  Required for golden parity.
-    # 'fast'   : same integer pipeline but skips wrap-around emulation where
-    #            it cannot trigger (costs stay < 256 for interior pixels).
-    precision: str = "exact"
-
     # Use Pallas TPU kernels for the hot ops; False falls back to the pure
     # jnp implementations (used on CPU test meshes).
     use_pallas: bool = True
