@@ -15,7 +15,7 @@ relying on fixed global buffers.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 # Matches the reference's INVALID_FLOAT (SemiGlobalMatching.h:12): disparity
 # values that fail validation are set to +inf.

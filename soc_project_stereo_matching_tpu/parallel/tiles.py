@@ -14,8 +14,8 @@ image's row dimension across a ``tile`` mesh axis:
   ``cross_tile='exact'`` chains the per-tile scans sequentially — the
   boundary ``ScanCarry`` (cost, mincost, gray rows) hops tile-to-tile via
   ``ppermute``, giving bit-identical results to the single-device engine at
-  the price of K-fold redundant scan work (the carry chain is an IIR; use
-  the wavefront-pipelined streaming mode for throughput).
+  the price of K sequential rounds (the carry chain is an IIR — exactness
+  costs latency; batch data-parallelism recovers throughput).
   ``cross_tile='local'`` restarts paths at tile boundaries (the standard
   overlap-SGM approximation) and runs fully parallel;
 * **WTA / uniqueness / subpixel / LR check** are row-local;
@@ -28,7 +28,7 @@ image's row dimension across a ``tile`` mesh axis:
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
