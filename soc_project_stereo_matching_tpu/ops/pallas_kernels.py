@@ -459,43 +459,45 @@ def _speckle_labels_kernel(disp_ref, out_ref, lab_ref, mask_ref,
 _LO = 512  # low-radix of the MXU histogram
 
 
-def _hist_kernel(lab_ref, fin_ref, out_ref, *, pc: int, khi: int, npad: int):
-    """MXU histogram: label l splits into (l>>9, l&511); per chunk the two
-    one-hot matrices (built in VMEM, pixels on the lane axis) contract on
-    the MXU into a (KHI, 512) f32 count plane.  Replaces XLA scatter-add,
-    which TPU executes near-serially."""
-    acc = jnp.zeros((khi, _LO), jnp.float32)
+def _hist_kernel(lab_ref, fin_ref, out_ref, *, pc: int, khi: int):
+    """MXU histogram: label l splits into (l>>9, l&511); per grid chunk the
+    two one-hot matrices (built in VMEM, pixels on the lane axis) contract
+    on the MXU into a (KHI, 512) f32 count plane accumulated across the
+    chunk grid dimension.  Replaces XLA scatter-add, which TPU executes
+    near-serially."""
+    chunk = pl.program_id(1)
+
+    @pl.when(chunk == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
     hi_iota = jax.lax.broadcasted_iota(jnp.int32, (khi, pc), 0)
     lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LO, pc), 0)
-    for c in range(0, npad, pc):
-        lab = lab_ref[0, :, c:c + pc]                     # (1, Pc) int32
-        fin = fin_ref[0, :, c:c + pc]
-        a = ((lab >> 9) == hi_iota) & (fin != 0)          # (KHI, Pc)
-        bm = (lab & (_LO - 1)) == lo_iota                 # (LO, Pc)
-        acc += jax.lax.dot_general(
-            a.astype(jnp.bfloat16), bm.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    out_ref[0] = acc
+    lab = lab_ref[0, 0]                                   # (1, Pc) int32
+    fin = fin_ref[0, 0]
+    a = ((lab >> 9) == hi_iota) & (fin != 0)              # (KHI, Pc)
+    bm = (lab & (_LO - 1)) == lo_iota                     # (LO, Pc)
+    out_ref[0] += jax.lax.dot_general(
+        a.astype(jnp.bfloat16), bm.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
-def _hist_lookup_kernel(lab_ref, small_t_ref, out_ref, *, pc: int, khi: int,
-                        npad: int):
+def _hist_lookup_kernel(lab_ref, small_t_ref, out_ref, *, pc: int, khi: int):
     """small[p] = small2d[l>>9, l&511] via one MXU contraction + masked
     sublane reduce — the gather-free counts[labels] lookup."""
     hi_iota = jax.lax.broadcasted_iota(jnp.int32, (khi, pc), 0)
     lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LO, pc), 0)
     small_t = small_t_ref[0].astype(jnp.bfloat16)         # (LO, KHI)
-    for c in range(0, npad, pc):
-        lab = lab_ref[0, :, c:c + pc]
-        a = ((lab >> 9) == hi_iota).astype(jnp.bfloat16)  # (KHI, Pc)
-        tmp = jax.lax.dot_general(                        # (LO, Pc)
-            small_t, a,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        bm = (lab & (_LO - 1)) == lo_iota
-        out_ref[0, :, c:c + pc] = jnp.sum(
-            jnp.where(bm, tmp, 0.0), axis=0, keepdims=True).astype(jnp.int32)
+    lab = lab_ref[0, 0]
+    a = ((lab >> 9) == hi_iota).astype(jnp.bfloat16)      # (KHI, Pc)
+    tmp = jax.lax.dot_general(                            # (LO, Pc)
+        small_t, a,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    bm = (lab & (_LO - 1)) == lo_iota
+    out_ref[0, 0] = jnp.sum(
+        jnp.where(bm, tmp, 0.0), axis=0, keepdims=True).astype(jnp.int32)
 
 
 def _small_label_mask(labels: jnp.ndarray, finite: jnp.ndarray,
@@ -507,17 +509,21 @@ def _small_label_mask(labels: jnp.ndarray, finite: jnp.ndarray,
     pc = 2048
     npad = _round_up(n, pc)
     khi = npad // _LO
-    lab_p = jnp.pad(labels, ((0, 0), (0, npad - n))).reshape(b, 1, npad)
+    nchunks = npad // pc
+    # (B, nchunks, 1, Pc): 4D so per-chunk blocks satisfy the (8,128)/equal
+    # BlockSpec rule, and the chunk loop rides the grid (compile stays O(1)
+    # in image size — a static in-kernel loop blew up Mosaic compile time).
+    lab_p = jnp.pad(labels, ((0, 0), (0, npad - n))).reshape(b, nchunks, 1, pc)
     fin_p = jnp.pad(finite.astype(jnp.int32),
-                    ((0, 0), (0, npad - n))).reshape(b, 1, npad)
-    row_spec = pl.BlockSpec((1, 1, npad), lambda bi: (bi, 0, 0),
-                            memory_space=pltpu.VMEM)
+                    ((0, 0), (0, npad - n))).reshape(b, nchunks, 1, pc)
+    chunk_spec = pl.BlockSpec((1, 1, 1, pc), lambda bi, ci: (bi, ci, 0, 0),
+                              memory_space=pltpu.VMEM)
 
     counts = pl.pallas_call(
-        functools.partial(_hist_kernel, pc=pc, khi=khi, npad=npad),
-        grid=(b,),
-        in_specs=[row_spec, row_spec],
-        out_specs=pl.BlockSpec((1, khi, _LO), lambda bi: (bi, 0, 0),
+        functools.partial(_hist_kernel, pc=pc, khi=khi),
+        grid=(b, nchunks),
+        in_specs=[chunk_spec, chunk_spec],
+        out_specs=pl.BlockSpec((1, khi, _LO), lambda bi, ci: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, khi, _LO), jnp.float32),
         interpret=_interpret(),
@@ -527,13 +533,13 @@ def _small_label_mask(labels: jnp.ndarray, finite: jnp.ndarray,
         jnp.bfloat16).transpose(0, 2, 1)                  # (B, LO, KHI)
 
     small = pl.pallas_call(
-        functools.partial(_hist_lookup_kernel, pc=pc, khi=khi, npad=npad),
-        grid=(b,),
-        in_specs=[row_spec,
-                  pl.BlockSpec((1, _LO, khi), lambda bi: (bi, 0, 0),
+        functools.partial(_hist_lookup_kernel, pc=pc, khi=khi),
+        grid=(b, nchunks),
+        in_specs=[chunk_spec,
+                  pl.BlockSpec((1, _LO, khi), lambda bi, ci: (bi, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=row_spec,
-        out_shape=jax.ShapeDtypeStruct((b, 1, npad), jnp.int32),
+        out_specs=chunk_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nchunks, 1, pc), jnp.int32),
         interpret=_interpret(),
     )(lab_p, small_t)
     return small.reshape(b, npad)[:, :n] > 0
@@ -568,7 +574,7 @@ def remove_speckles_pallas(disp: jnp.ndarray, diff_insame: float = 1.0,
             pltpu.VMEM((h, w), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=116 * 1024 * 1024),
         interpret=_interpret(),
     )(flat)
 

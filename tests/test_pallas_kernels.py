@@ -96,3 +96,15 @@ def test_full_pipeline_pallas_vs_jnp():
     got = np.asarray(sgm_forward(il, ir, opt, use_pallas=True))
     both_inf = np.isinf(want) & np.isinf(got)
     assert ((np.isinf(want) == np.isinf(got)) & (both_inf | (want == got))).all()
+
+
+def test_auto_block_rows_shrinks_for_large_volumes():
+    from soc_project_stereo_matching_tpu.ops.pallas_kernels import (
+        _auto_block_rows, _round_up)
+
+    assert _auto_block_rows(64, 450, 32) == 32        # cone fits
+    br = _auto_block_rows(128, 1280, 32)              # 720p D=128 shrinks
+    assert br < 32 and br >= 8
+    assert 32 * 128 * 1280 * 4 > 16 * 1024 * 1024     # would have OOMed
+    # padded scan axes stay divisible after shrinking (powers of two)
+    assert _round_up(720, 32) % br == 0
