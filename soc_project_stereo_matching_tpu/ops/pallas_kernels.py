@@ -338,6 +338,10 @@ def wta_reduce_pallas(aggr: jnp.ndarray, options: SGMOptions,
     if unbatched:
         aggr = aggr[None]
     b, h, d, w = aggr.shape
+    if d > 256:
+        raise ValueError(
+            f"disparity range {d} > 256: the (cost << 8 | d) argmin key "
+            "packs d into 8 bits; widen the key shift for larger ranges")
     block_rows = _auto_block_rows(d, w, block_rows)
     hp = _round_up(h, block_rows)
     aggr_p = jnp.pad(aggr, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
