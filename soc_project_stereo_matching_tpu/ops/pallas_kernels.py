@@ -89,7 +89,9 @@ def _scan_group_kernel(
 
     def step(s, _):
         row = rows - 1 - s if reverse else s
-        cost_row = cost_ref[0, row].astype(jnp.int32)            # (D, W)
+        # & 0xFF recovers the unsigned value: the volume rides as int8 for
+        # DMA width, so uint8 costs >= 128 arrive bit-preserved but negative
+        cost_row = cost_ref[0, row].astype(jnp.int32) & 0xFF     # (D, W)
         total = None
         for k, roll in enumerate(rolls):
             prev = carry_cost[k]
@@ -298,25 +300,31 @@ def _wta_kernel(aggr_ref, *out_refs, rows: int, d: int, w: int,
             valid = (lane + dd >= 0) & (lane + dd < w)
             return jnp.where(valid, _roll(plane, -dd, axis=1), _U16)
 
-        rkey = jnp.full((rows, w), (_U16 << 8) | 0xFF, jnp.int32)
-        for k in range(d):
-            rkey = jnp.minimum(rkey, (sheared(k) << 8) | k)
-        rbest = rkey & 0xFF
-        rminc = rkey >> 8
-
-        rsec = jnp.full((rows, w), BIG, jnp.int32)
+        # Single online pass: min1/min2 key tracking gives first-argmin,
+        # min and second-min (the 2nd-smallest key's cost is exactly the
+        # min over k != argmin since keys are distinct in k); rc1 latches
+        # the previous plane whenever the minimum changes hands, rc2
+        # latches the plane following the currently-best k.
+        big_key = (_U16 << 8) | 0xFF
+        min1 = jnp.full((rows, w), big_key, jnp.int32)
+        min2 = jnp.full((rows, w), big_key, jnp.int32)
         rc1 = jnp.zeros((rows, w), jnp.int32)
         rc2 = jnp.zeros((rows, w), jnp.int32)
         prev = None
-        cur = None
         for k in range(d):
             cur = sheared(k)
-            rsec = jnp.minimum(rsec, jnp.where(rbest == k, BIG, cur))
-            rc1 = rc1 + jnp.where(rbest == k, cur if k == 0 else prev, 0)
+            key = (cur << 8) | k
+            took = key < min1
+            min2 = jnp.minimum(min2, jnp.where(took, min1, key))
+            min1 = jnp.minimum(min1, key)
+            rc1 = jnp.where(took, cur if k == 0 else prev, rc1)
             if k > 0:
-                rc2 = rc2 + jnp.where(rbest == k - 1, cur, 0)
+                rc2 = jnp.where((min1 & 0xFF) == k - 1, cur, rc2)
             prev = cur
-        rc2 = rc2 + jnp.where(rbest == d - 1, cur, 0)
+        rbest = min1 & 0xFF
+        rminc = min1 >> 8
+        rsec = min2 >> 8
+        rc2 = jnp.where(rbest == d - 1, prev, rc2)
         outs += [rbest, rminc, rsec, rc1, rc2]
 
     for ref, val in zip(out_refs, outs):
@@ -381,7 +389,7 @@ def _ceil_log2(n: int) -> int:
     return k
 
 
-def _speckle_labels_kernel(disp_ref, out_ref, lab_ref, mask_ref,
+def _speckle_labels_kernel(disp_ref, out_ref, mask_ref,
                            *, h: int, w: int, diff: float):
     """Connected-component min-labels for one frame, entirely in VMEM.
 
@@ -421,7 +429,7 @@ def _speckle_labels_kernel(disp_ref, out_ref, lab_ref, mask_ref,
     for bit, (dr, dc) in enumerate(offsets):
         masks = masks | jnp.where(edge(dr, dc), 1 << bit, 0)
     mask_ref[...] = masks
-    lab_ref[...] = row_iota * w + lane_iota
+    out_ref[0] = row_iota * w + lane_iota
 
     big = jnp.int32(h * w)
 
@@ -446,18 +454,17 @@ def _speckle_labels_kernel(disp_ref, out_ref, lab_ref, mask_ref,
 
     def body(state):
         _, it = state
-        lab = lab_ref[...]
+        lab = out_ref[0]
         m = mask_ref[...]
         new = seg_min_doubling(lab, m & 1, 1, w)
         new = seg_min_doubling(new, (m >> 1) & 1, 0, h)
         for bit, (dr, dc) in zip((2, 3, 4, 5), offsets[2:]):
             nl = _roll(_roll(new, -dr, 0), -dc, 1)
             new = jnp.minimum(new, jnp.where((m & (1 << bit)) != 0, nl, big))
-        lab_ref[...] = new
+        out_ref[0] = new
         return jnp.any(new != lab), it + 1
 
     jax.lax.while_loop(lambda s: s[0], body, (jnp.bool_(True), jnp.int32(0)))
-    out_ref[0] = lab_ref[...]
 
 
 _LO = 512  # low-radix of the MXU histogram
@@ -574,8 +581,7 @@ def remove_speckles_pallas(disp: jnp.ndarray, diff_insame: float = 1.0,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((h, w), jnp.int32),
-            pltpu.VMEM((h, w), jnp.int32),
+            pltpu.VMEM((h, w), jnp.int32),   # packed edge bitmask
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=116 * 1024 * 1024),

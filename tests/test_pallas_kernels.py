@@ -108,3 +108,14 @@ def test_auto_block_rows_shrinks_for_large_volumes():
     assert 32 * 128 * 1280 * 4 > 16 * 1024 * 1024     # would have OOMed
     # padded scan axes stay divisible after shrinking (powers of two)
     assert _round_up(720, 32) % br == 0
+
+
+def test_aggregation_kernel_full_uint8_cost_domain():
+    # costs >= 128 ride as negative int8 bits into the kernel; the & 0xFF
+    # recovery must keep parity with the jnp path over the full u8 range
+    cost = jnp.asarray(RNG.integers(0, 256, (H, D, W), dtype=np.uint8))
+    img = jnp.asarray(RNG.integers(0, 256, (H, W), dtype=np.uint8))
+    opt = SGMOptions(max_disparity=D)
+    want = np.asarray(aggregation.aggregate_paths(cost, img, opt))
+    got = np.asarray(pk.aggregate_paths(cost, img, opt, block_rows=8))
+    np.testing.assert_array_equal(want, got)
