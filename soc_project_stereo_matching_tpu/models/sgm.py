@@ -100,12 +100,22 @@ class SGMEngine:
     The reference equivalent is the global ``sgm`` instance +
     SGM_Initialize/SGM_Match; here initialisation is compilation (cached per
     input shape) and matching is a pure function call.
+
+    With a ``mesh``, ``match_batch`` runs sharded: batch over the mesh's
+    'data' axis, and — when ``config.tile_mode`` is 'exact'/'local' — image
+    rows over its 'tile' axis with halo exchange and cross-tile scan-carry
+    chaining (parallel/tiles.py).
     """
 
     def __init__(self, options: SGMOptions = SGMOptions(),
-                 config: EngineConfig = EngineConfig()):
+                 config: EngineConfig = EngineConfig(),
+                 mesh=None):
         self.options = options
         self.config = config
+        self.mesh = mesh
+        if mesh is not None and config.tile_mode not in ("none", "exact", "local"):
+            raise ValueError(f"unknown tile_mode {config.tile_mode!r}")
+        self._tiled = {}
         self._batched = jax.jit(
             lambda l, r: sgm_forward(
                 l, r, options, self._diag_mode(), self._use_pallas()
@@ -130,6 +140,18 @@ class SGMEngine:
 
     def match_batch(self, imgs_left, imgs_right) -> jax.Array:
         """(B, H, W) pairs -> (B, H, W) disparities."""
-        return self._batched(
-            jnp.asarray(imgs_left, jnp.uint8), jnp.asarray(imgs_right, jnp.uint8)
-        )
+        lefts = jnp.asarray(imgs_left, jnp.uint8)
+        rights = jnp.asarray(imgs_right, jnp.uint8)
+        if self.mesh is not None and self.config.tile_mode != "none":
+            from ..parallel.tiles import make_tiled_matcher
+
+            h, w = lefts.shape[-2:]
+            key = (h, w)
+            if key not in self._tiled:
+                self._tiled[key] = make_tiled_matcher(
+                    self.options, self.mesh, h, w,
+                    cross_tile=self.config.tile_mode,
+                    diagonal_mode=self._diag_mode(),
+                )
+            return self._tiled[key](lefts, rights)
+        return self._batched(lefts, rights)

@@ -97,3 +97,24 @@ def test_multihost_single_process_helpers():
     assert multihost.process_local_batch(8) == 8
     got = multihost.allsum_metrics({"sum_err": 2.5, "n": 10})
     assert got == {"sum_err": 2.5, "n": 10.0}
+
+
+def test_engine_tiled_mesh_matches_single_device():
+    import numpy as np
+    from soc_project_stereo_matching_tpu import EngineConfig, SGMOptions
+    from soc_project_stereo_matching_tpu.models.sgm import SGMEngine
+    from soc_project_stereo_matching_tpu.parallel.mesh import make_mesh
+
+    opts = SGMOptions(max_disparity=16, min_speckle_area=8)
+    rng = np.random.default_rng(3)
+    lefts = rng.integers(0, 256, (2, 16, 64), dtype=np.uint8)
+    rights = rng.integers(0, 256, (2, 16, 64), dtype=np.uint8)
+
+    single = np.asarray(SGMEngine(opts).match_batch(lefts, rights))
+    mesh = make_mesh(data=2, tile=4)
+    eng = SGMEngine(opts, EngineConfig(tile_mode="exact"), mesh=mesh)
+    tiled = np.asarray(eng.match_batch(lefts, rights))
+
+    both_inf = np.isinf(single) & np.isinf(tiled)
+    assert ((np.isinf(single) == np.isinf(tiled))
+            & (both_inf | (single == tiled))).all()
