@@ -27,7 +27,8 @@ def main():
     ap.add_argument("--height", type=int, default=368)
     ap.add_argument("--width", type=int, default=450)
     ap.add_argument("--max-disparity", type=int, default=64)
-    ap.add_argument("--cross-tile", choices=("exact", "local"), default="exact")
+    ap.add_argument("--cross-tile", choices=("exact", "pipelined", "local"),
+                    default="exact")
     args = ap.parse_args()
 
     import jax

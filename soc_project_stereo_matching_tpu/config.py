@@ -95,9 +95,10 @@ class EngineConfig:
     use_pallas: bool = True
 
     # Spatial tiling across devices (see parallel/tiles.py):
-    #  'none'  : whole image per device
-    #  'exact' : H-tiles with sequential cross-tile scan-carry propagation
-    #  'local' : H-tiles with tile-local path restarts (overlap SGM)
+    #  'none'      : whole image per device
+    #  'exact'     : H-tiles, K-round chained cross-tile scan carries
+    #  'pipelined' : H-tiles, exact, microbatch wavefront through the ring
+    #  'local'     : H-tiles with tile-local path restarts (overlap SGM)
     tile_mode: str = "none"
 
     # Batch size per chip for the batched evaluation harness.

@@ -113,7 +113,8 @@ class SGMEngine:
         self.options = options
         self.config = config
         self.mesh = mesh
-        if mesh is not None and config.tile_mode not in ("none", "exact", "local"):
+        if mesh is not None and config.tile_mode not in (
+                "none", "exact", "pipelined", "local"):
             raise ValueError(f"unknown tile_mode {config.tile_mode!r}")
         self._tiled = {}
         self._batched = jax.jit(

@@ -102,6 +102,86 @@ def _chained_scan(cost: jnp.ndarray, img: jnp.ndarray, options: SGMOptions,
     return out
 
 
+def _pipelined_scan(cost: jnp.ndarray, img: jnp.ndarray, options: SGMOptions,
+                    reverse: bool, roll: int, diagonal_mode: str,
+                    axis_name: str, k: int, num_micro: int) -> jnp.ndarray:
+    """Wavefront-pipelined exact cross-tile scan over a *batch* of tiles.
+
+    The exact carry chain is an IIR along the tile axis: naive chaining
+    (``_chained_scan``) pays K redundant full-batch rounds.  Here the local
+    batch is split into ``num_micro`` microbatches and streamed through the
+    tile ring: at step s, tile t scans microbatch ``s - pos(t)`` and hands
+    its outgoing DP carry to the next tile — the ring-attention-shaped
+    schedule from SURVEY.md §5.  Work per tile drops from K×B to
+    B + (K-1)×(B/M) microbatch-scans while staying bit-exact; pipeline
+    fill/drain is the only overhead (utilisation M/(M+K-1)).
+
+    cost: (B_local, Ht, D, W); returns the (B_local, Ht, D, W) int32
+    contribution of this direction.
+    """
+    bl, ht, d, w = cost.shape
+    assert bl % num_micro == 0, (bl, num_micro)
+    mb = bl // num_micro
+    my = jax.lax.axis_index(axis_name)
+    pos = (k - 1 - my) if reverse else my
+    perm = _perm_up(k) if reverse else _perm_down(k)
+
+    # A zero carry is exactly carry-neutral (the DP minimum goes through
+    # L(p-r,d)=0 with mincost 0, so the first row contributes its raw
+    # cost), making path starts at tile 0 and pipeline bubbles uniform.
+    carry = ScanCarry(jnp.zeros((mb, d, w), jnp.int32),
+                      jnp.zeros((mb, w), jnp.int32),
+                      jnp.zeros((mb, w), jnp.int32))
+    scan_mb = jax.vmap(
+        lambda c, i, ci: directional_scan(
+            c, i, options.p1, options.p2_init, reverse, roll,
+            diagonal_mode, carry_in=ci),
+        in_axes=(0, 0, 0))
+
+    out = jnp.zeros((bl, ht, d, w), jnp.int32)
+    for s in range(num_micro + k - 1):
+        m = s - pos
+        mc = jnp.clip(m, 0, num_micro - 1) * mb
+        cmb = jax.lax.dynamic_slice_in_dim(cost, mc, mb, axis=0)
+        imb = jax.lax.dynamic_slice_in_dim(img, mc, mb, axis=0)
+        contrib, carry_out = scan_mb(cmb, imb, carry)
+        active = (m >= 0) & (m < num_micro)
+        cur = jax.lax.dynamic_slice_in_dim(out, mc, mb, axis=0)
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out, jnp.where(active, contrib, cur), mc, axis=0)
+        carry = ScanCarry(
+            *(jax.lax.ppermute(c, axis_name, perm) for c in carry_out))
+    return out
+
+
+def tiled_aggregate_pipelined(
+    cost: jnp.ndarray, img: jnp.ndarray, options: SGMOptions,
+    axis_name: str, k: int, diagonal_mode: str, num_micro: int,
+) -> jnp.ndarray:
+    """Batched tile aggregation with pipelined exact vertical paths.
+
+    cost: (B_local, Ht, D, W) uint8 tiles; horizontal paths are tile-local
+    (vmapped), the six vertical/diagonal paths stream microbatches through
+    the tile ring."""
+    dirs = DIRECTIONS_8 if options.num_paths == 8 else DIRECTIONS_4
+    aggr = jnp.zeros(cost.shape, dtype=jnp.int32)
+    cost_t = cost.transpose(0, 3, 2, 1)
+    img_t = img.transpose(0, 2, 1)
+    for axis, reverse, roll in dirs:
+        if axis == "h":
+            contrib = jax.vmap(
+                lambda c, i: directional_scan(
+                    c, i, options.p1, options.p2_init, reverse, roll,
+                    diagonal_mode)[0]
+            )(cost_t, img_t)
+            aggr = aggr + contrib.transpose(0, 3, 2, 1)
+        else:
+            aggr = aggr + _pipelined_scan(
+                cost, img, options, reverse, roll, diagonal_mode,
+                axis_name, k, num_micro)
+    return aggr.astype(jnp.uint16)
+
+
 def tiled_aggregate(cost: jnp.ndarray, img: jnp.ndarray, options: SGMOptions,
                     axis_name: str, k: int, cross_tile: str = "exact",
                     diagonal_mode: str = "wrap") -> jnp.ndarray:
@@ -175,6 +255,50 @@ def _tiled_forward_single(
     return jnp.where(border[:, None], disp, med)
 
 
+def _tiled_forward_batch_pipelined(
+    lefts: jnp.ndarray,
+    rights: jnp.ndarray,
+    options: SGMOptions,
+    axis_name: str,
+    k: int,
+    h_total: int,
+    diagonal_mode: str,
+    num_micro: int,
+) -> jnp.ndarray:
+    """Batched tile pipeline with wavefront-pipelined exact aggregation."""
+    cl = tiled_census(lefts, axis_name, k, h_total)
+    cr = tiled_census(rights, axis_name, k, h_total)
+    cost = hamming_cost_volume(cl, cr, options.min_disparity,
+                               options.max_disparity)
+    aggr = tiled_aggregate_pipelined(
+        cost, lefts, options, axis_name, k, diagonal_mode, num_micro)
+    aggr = jax.lax.optimization_barrier(aggr)
+
+    disp = compute_disparity(aggr, options, inverse=False)
+    if options.is_check_lr:
+        disp_r = compute_disparity(aggr, options, inverse=True)
+        disp = lr_check(disp, disp_r, options.lrcheck_thres,
+                        max_shift=max(options.max_disparity, 1))
+
+    ht = disp.shape[-2]
+    my = jax.lax.axis_index(axis_name) if k > 1 else 0
+
+    if options.is_remove_speckles:
+        if k > 1:
+            full = jax.lax.all_gather(disp, axis_name, axis=1, tiled=True)
+        else:
+            full = disp
+        full = jax.vmap(
+            lambda d: remove_speckles(d, 1.0, options.min_speckle_area))(full)
+        disp = jax.lax.dynamic_slice_in_dim(full, my * ht, ht, axis=1)
+
+    padded = halo_exchange_rows(disp, 1, axis_name, k)
+    med = median_filter_3x3(padded)[:, 1:1 + ht, :]
+    gr = my * ht + jnp.arange(ht)
+    border = (gr == 0) | (gr == h_total - 1)
+    return jnp.where(border[:, None], disp, med)
+
+
 def make_tiled_matcher(
     options: SGMOptions,
     mesh: Mesh,
@@ -182,22 +306,35 @@ def make_tiled_matcher(
     w: int,
     cross_tile: str = "exact",
     diagonal_mode: str = "wrap",
+    num_micro: int = 0,
 ):
     """Build a jitted (B, H, W) x2 -> (B, H, W) matcher sharded over the
-    mesh: batch across 'data', rows across 'tile'."""
+    mesh: batch across 'data', rows across 'tile'.
+
+    cross_tile: 'exact' (K-round chained carries), 'pipelined' (exact,
+    microbatch wavefront through the tile ring — num_micro chunks of the
+    per-device batch, 0 = one image per microbatch), or 'local'
+    (tile-restarted paths, the overlap-SGM approximation)."""
     k = mesh.shape["tile"]
     if h % k:
         raise ValueError(f"H={h} not divisible by tile axis size {k}")
 
-    single = functools.partial(
-        _tiled_forward_single,
-        options=options, axis_name="tile", k=k, h_total=h,
-        cross_tile=cross_tile, diagonal_mode=diagonal_mode,
-    )
+    if cross_tile == "pipelined":
+        def local_fn(lefts, rights):
+            nm = num_micro if num_micro > 0 else lefts.shape[0]
+            return _tiled_forward_batch_pipelined(
+                lefts, rights, options, "tile", k, h,
+                diagonal_mode, nm)
+    else:
+        single = functools.partial(
+            _tiled_forward_single,
+            options=options, axis_name="tile", k=k, h_total=h,
+            cross_tile=cross_tile, diagonal_mode=diagonal_mode,
+        )
 
-    def local_fn(lefts, rights):
-        # lefts: (B_local, Ht, W) on each device
-        return jax.vmap(single)(lefts, rights)
+        def local_fn(lefts, rights):
+            # lefts: (B_local, Ht, W) on each device
+            return jax.vmap(single)(lefts, rights)
 
     spec = P("data", "tile", None)
     fn = shard_map(local_fn, mesh=mesh, in_specs=(spec, spec), out_specs=spec,

@@ -118,3 +118,26 @@ def test_engine_tiled_mesh_matches_single_device():
     both_inf = np.isinf(single) & np.isinf(tiled)
     assert ((np.isinf(single) == np.isinf(tiled))
             & (both_inf | (single == tiled))).all()
+
+
+def test_pipelined_cross_tile_matches_single_device():
+    import numpy as np
+    from soc_project_stereo_matching_tpu import SGMOptions
+    from soc_project_stereo_matching_tpu.models.sgm import SGMEngine
+    from soc_project_stereo_matching_tpu.parallel.mesh import make_mesh
+    from soc_project_stereo_matching_tpu.parallel.tiles import make_tiled_matcher
+
+    opts = SGMOptions(max_disparity=16, min_speckle_area=8)
+    rng = np.random.default_rng(4)
+    lefts = rng.integers(0, 256, (4, 16, 64), dtype=np.uint8)
+    rights = rng.integers(0, 256, (4, 16, 64), dtype=np.uint8)
+
+    single = np.asarray(SGMEngine(opts).match_batch(lefts, rights))
+    mesh = make_mesh(data=2, tile=4)
+    matcher = make_tiled_matcher(opts, mesh, 16, 64, cross_tile="pipelined",
+                                 num_micro=2)
+    piped = np.asarray(matcher(lefts, rights))
+
+    both_inf = np.isinf(single) & np.isinf(piped)
+    assert ((np.isinf(single) == np.isinf(piped))
+            & (both_inf | (single == piped))).all()
