@@ -101,9 +101,6 @@ class EngineConfig:
     #  'local'     : H-tiles with tile-local path restarts (overlap SGM)
     tile_mode: str = "none"
 
-    # Batch size per chip for the batched evaluation harness.
-    batch_per_chip: int = 8
-
 
 def load_yaml_config(path) -> Tuple[SGMOptions, EngineConfig]:
     """Load ``{sgm: {...}, engine: {...}}`` YAML into config dataclasses.

@@ -589,9 +589,19 @@ def remove_speckles_pallas(disp: jnp.ndarray, diff_insame: float = 1.0,
     )(flat)
 
     finite = jnp.isfinite(flat)
-    small = _small_label_mask(
-        labels.reshape(b, -1), finite.reshape(b, -1), min_area
-    ).reshape(b, h, w)
+    if h * w <= 2_000_000:
+        small = _small_label_mask(
+            labels.reshape(b, -1), finite.reshape(b, -1), min_area
+        ).reshape(b, h, w)
+    else:
+        # The MXU histogram is O(N^2) in pixel count (N pixels x N/512
+        # hi-bins); beyond ~2M pixels (4K frames) XLA scatter-add wins.
+        n = h * w
+        counts = jax.vmap(
+            lambda lab, fin: jnp.zeros((n,), jnp.int32).at[lab.reshape(-1)]
+            .add(fin.reshape(-1).astype(jnp.int32)))(labels, finite)
+        small = (jnp.take_along_axis(counts, labels.reshape(b, -1), axis=-1)
+                 < min_area).reshape(b, h, w)
     out = jnp.where(finite & small, jnp.float32(jnp.inf), flat)
     out = out.reshape(batch + (h, w))
     return out[0] if unbatched else out
