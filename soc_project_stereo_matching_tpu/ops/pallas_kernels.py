@@ -452,15 +452,45 @@ def _speckle_labels_kernel(disp_ref, out_ref, mask_ref,
             bwd_c = bwd_c & jnp.where(ok_b, _roll(bwd_c, -s, axis), 0)
         return jnp.minimum(fwd_v, bwd_v)
 
+    def diag_pass(new, m):
+        for bit, (dr, dc) in zip((2, 3, 4, 5), offsets[2:]):
+            nl = _roll(_roll(new, -dr, 0), -dc, 1)
+            new = jnp.minimum(new, jnp.where((m & (1 << bit)) != 0, nl, big))
+        return new
+
+    def seg_round(lab, m):
+        new = seg_min_doubling(lab, m & 1, 1, w)
+        new = seg_min_doubling(new, (m >> 1) & 1, 0, h)
+        return diag_pass(new, m)
+
+    def cheap_round(lab, m):
+        """One masked shift-min over all 8 edges (~4x cheaper than the
+        log-depth segmented round).  Both round types cover every edge, so
+        a no-change fixed point of either implies per-component-constant
+        labels — full convergence."""
+        new = lab
+        for shift, axis in ((1, 1), (-1, 1), (1, 0)):
+            conn = m & 1 if axis == 1 else (m >> 1) & 1
+            if shift > 0:
+                nl = _roll(lab, 1, axis)
+                edge = conn != 0
+            else:
+                nl = _roll(lab, -1, axis)
+                edge = _roll(conn, -1, axis) != 0
+            new = jnp.minimum(new, jnp.where(edge, nl, big))
+        # downward column link (r+1 -> r) uses the shifted column mask
+        nl = _roll(new, -1, 0)
+        edge = _roll((m >> 1) & 1, -1, 0) != 0
+        new = jnp.minimum(new, jnp.where(edge, nl, big))
+        return diag_pass(new, m)
+
     def body(state):
         _, it = state
         lab = out_ref[0]
         m = mask_ref[...]
-        new = seg_min_doubling(lab, m & 1, 1, w)
-        new = seg_min_doubling(new, (m >> 1) & 1, 0, h)
-        for bit, (dr, dc) in zip((2, 3, 4, 5), offsets[2:]):
-            nl = _roll(_roll(new, -dr, 0), -dc, 1)
-            new = jnp.minimum(new, jnp.where((m & (1 << bit)) != 0, nl, big))
+        # Alternate: segmented rounds give log-depth long-range hops, the
+        # cheap rounds mop up locally at a quarter of the cost.
+        new = jax.lax.cond(it % 2 == 0, seg_round, cheap_round, lab, m)
         out_ref[0] = new
         return jnp.any(new != lab), it + 1
 
