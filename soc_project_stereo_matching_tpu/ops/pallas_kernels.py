@@ -101,11 +101,12 @@ def _scan_group_kernel(
                 pmin = _roll(pmin, roll, axis=1)
             p2_row = p2_ref[0, k, pl.ds(row, 1)].astype(jnp.int32)   # (1, W)
             up = jnp.where(d_iota == 0, SENTINEL,
-                           _roll(prev, 1, axis=0)) + p1     # L(p-r, d-1)+P1
+                           _roll(prev, 1, axis=0))          # L(p-r, d-1)
             dn = jnp.where(d_iota == d - 1, SENTINEL,
-                           _roll(prev, -1, axis=0)) + p1    # L(p-r, d+1)+P1
-            m = jnp.minimum(jnp.minimum(prev, up),
-                            jnp.minimum(dn, pmin + p2_row))
+                           _roll(prev, -1, axis=0))         # L(p-r, d+1)
+            # min(up, dn) + P1 folds the two penalty adds into one
+            m = jnp.minimum(jnp.minimum(prev, jnp.minimum(up, dn) + p1),
+                            pmin + p2_row)
             cs = (cost_row + m - pmin) & 0xFF
             if restart and roll:
                 lane = 0 if roll > 0 else w - 1
