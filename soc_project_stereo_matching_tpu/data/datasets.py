@@ -148,10 +148,59 @@ def load_pair_2014(folder: PathLike) -> StereoPair:
     )
 
 
+def load_pair_kitti(root: PathLike, frame_id: str,
+                    use_noc: bool = False) -> StereoPair:
+    """KITTI-2015 layout: image_2/image_3 left/right PNGs, disp_occ_0 /
+    disp_noc_0 uint16 ground truth scaled by 256, 0 = unknown.
+
+    KITTI ships per-date camera calibrations; when absent a nominal
+    KITTI-2015 geometry (fx 721.5377 px, baseline 537 mm) is used so the
+    depth-domain metrics stay meaningful."""
+    from PIL import Image
+
+    root = Path(root)
+    name = f"{frame_id}_10.png"
+    left = load_image_gray_stb(root / "image_2" / name)
+    right = load_image_gray_stb(root / "image_3" / name)
+
+    gt_dir = "disp_noc_0" if use_noc else "disp_occ_0"
+    gt = None
+    gt_path = root / gt_dir / name
+    if gt_path.exists():
+        raw = np.asarray(Image.open(gt_path), dtype=np.float32)
+        gt = raw / 256.0
+        gt[raw == 0] = np.nan
+    h, w = left.shape
+    return StereoPair(
+        name=f"kitti2015/{frame_id}",
+        img_left=left, img_right=right,
+        gt_disp_left=gt, gt_disp_right=None,
+        calib=synthetic_calib(w, h, fx=721.5377, baseline=537.0),
+        dmin=0, dmax=192,
+        rgb_left=load_image_rgb(root / "image_2" / name),
+        rgb_right=load_image_rgb(root / "image_3" / name),
+    )
+
+
+def discover_kitti(root: PathLike) -> List[str]:
+    """Frame ids of a KITTI-2015 training/testing directory."""
+    img_dir = Path(root) / "image_2"
+    if not img_dir.is_dir():
+        return []
+    return sorted(p.name[:-7] for p in img_dir.glob("*_10.png"))
+
+
 def load_pair(folder: PathLike) -> StereoPair:
+    if isinstance(folder, StereoPair):
+        return folder
     folder = Path(folder)
     if (folder / "calib.txt").exists():
         return load_pair_2014(folder)
+    if (folder / "image_2").is_dir():
+        ids = discover_kitti(folder)
+        if not ids:
+            raise FileNotFoundError(f"{folder}: KITTI layout but no frames")
+        return load_pair_kitti(folder, ids[0])
     return load_pair_legacy_png(folder)
 
 

@@ -164,7 +164,12 @@ def main(argv=None):
     ap.add_argument("--num-paths", type=int, default=8, choices=(4, 8))
     args = ap.parse_args(argv)
 
-    if args.data is not None:
+    if args.data is not None and (Path(args.data) / "image_2").is_dir():
+        from ..data.datasets import discover_kitti, load_pair_kitti
+
+        folders = [load_pair_kitti(args.data, fid)
+                   for fid in discover_kitti(args.data)]
+    elif args.data is not None:
         folders = discover_datasets(args.data) or sorted(
             p for p in Path(args.data).iterdir() if p.is_dir())
     else:

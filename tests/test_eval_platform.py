@@ -183,3 +183,43 @@ def test_harness_end_to_end_and_resume(reference_dir, tmp_path):
     stats2 = h2.run(folders)
     assert stats2["measurements"][0]["rmse_mm"] == m["rmse_mm"]
     assert stats2["measurements"][0]["duration_s"] == m["duration_s"]
+
+
+def test_kitti2015_layout(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    from soc_project_stereo_matching_tpu.data.datasets import (
+        discover_kitti, load_pair, load_pair_kitti)
+    from soc_project_stereo_matching_tpu.eval.harness import (
+        EvaluationHarness, HarnessConfig)
+    from soc_project_stereo_matching_tpu import SGMOptions
+
+    rng = np.random.default_rng(0)
+    h, w = 24, 48
+    for sub in ("image_2", "image_3", "disp_occ_0"):
+        (tmp_path / sub).mkdir()
+    for fid in ("000000", "000001"):
+        for sub in ("image_2", "image_3"):
+            Image.fromarray(rng.integers(0, 255, (h, w), dtype=np.uint8),
+                            mode="L").save(tmp_path / sub / f"{fid}_10.png")
+        gt = rng.integers(0, 16 * 256, (h, w)).astype(np.uint16)
+        gt[0, 0] = 0  # unknown marker
+        Image.fromarray(gt, mode="I;16").save(
+            tmp_path / "disp_occ_0" / f"{fid}_10.png")
+
+    ids = discover_kitti(tmp_path)
+    assert ids == ["000000", "000001"]
+    pair = load_pair_kitti(tmp_path, "000000")
+    assert pair.shape == (h, w) and pair.dmax == 192
+    assert np.isnan(pair.gt_disp_left[0, 0])
+    assert np.nanmax(pair.gt_disp_left) < 16.0
+
+    # directory dispatch + harness run over explicit pairs
+    assert load_pair(tmp_path).name == "kitti2015/000000"
+    harness = EvaluationHarness(
+        SGMOptions(min_speckle_area=8),
+        HarnessConfig(max_disparity=16))
+    stats = harness.run([load_pair_kitti(tmp_path, fid) for fid in ids])
+    assert stats["total_frames"] == 2
+    assert all(np.isfinite(m["disp_bad3"]) for m in stats["measurements"])
