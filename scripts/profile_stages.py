@@ -81,7 +81,8 @@ def main():
         "WTA inverse",
         lambda a: a ^ jnp.isfinite(wta_inv(a)).astype(jnp.uint16)[..., None, :], aggr0)
 
-    lr_fn = jax.jit(jax.vmap(lambda a, b: lr_check(a, b, OPT.lrcheck_thres)))
+    lr_fn = jax.jit(jax.vmap(lambda a, b: lr_check(
+        a, b, OPT.lrcheck_thres, max_shift=OPT.max_disparity)))
     timeit_chain("LR check", lambda d: lr_fn(d, disp0), disp0)
 
     spk = jax.jit(jax.vmap(lambda d: remove_speckles(d, 1.0, OPT.min_speckle_area)))
