@@ -102,7 +102,7 @@ class SGMEngine:
     input shape) and matching is a pure function call.
 
     With a ``mesh``, ``match_batch`` runs sharded: batch over the mesh's
-    'data' axis, and — when ``config.tile_mode`` is 'exact'/'local' — image
+    'data' axis, and — when ``config.tile_mode`` is 'exact', 'pipelined' or 'local' — image
     rows over its 'tile' axis with halo exchange and cross-tile scan-carry
     chaining (parallel/tiles.py).
     """

@@ -120,7 +120,10 @@ def _pipelined_scan(cost: jnp.ndarray, img: jnp.ndarray, options: SGMOptions,
     contribution of this direction.
     """
     bl, ht, d, w = cost.shape
-    assert bl % num_micro == 0, (bl, num_micro)
+    if bl % num_micro:
+        raise ValueError(
+            f"per-device batch {bl} not divisible by num_micro={num_micro}: "
+            "trailing images would silently receive no vertical aggregation")
     mb = bl // num_micro
     my = jax.lax.axis_index(axis_name)
     pos = (k - 1 - my) if reverse else my
@@ -211,6 +214,44 @@ def tiled_aggregate(cost: jnp.ndarray, img: jnp.ndarray, options: SGMOptions,
     return aggr.astype(jnp.uint16)
 
 
+def _post_aggregation(aggr: jnp.ndarray, options: SGMOptions,
+                      axis_name: str, k: int, h_total: int) -> jnp.ndarray:
+    """Aggregated volume -> final disparity tile: WTA (+inverse/LR),
+    all-gathered speckle labelling, halo median, global border mask.
+
+    Dim-agnostic: aggr is (Ht, D, W) or (B_local, Ht, D, W); both tiled
+    paths share this tail so they stay bit-identical by construction."""
+    # see models/sgm.py: sidesteps an XLA TPU fusion miscompile under vmap
+    aggr = jax.lax.optimization_barrier(aggr)
+
+    disp = compute_disparity(aggr, options, inverse=False)
+    if options.is_check_lr:
+        disp_r = compute_disparity(aggr, options, inverse=True)
+        disp = lr_check(disp, disp_r, options.lrcheck_thres,
+                        max_shift=max(options.max_disparity, 1))
+
+    ht = disp.shape[-2]
+    rows_axis = disp.ndim - 2
+    my = jax.lax.axis_index(axis_name) if k > 1 else 0
+
+    if options.is_remove_speckles:
+        # global connectivity: gather the (small) disparity plane
+        if k > 1:
+            full = jax.lax.all_gather(disp, axis_name, axis=rows_axis,
+                                      tiled=True)
+        else:
+            full = disp
+        spk = lambda d: remove_speckles(d, 1.0, options.min_speckle_area)
+        full = spk(full) if full.ndim == 2 else jax.vmap(spk)(full)
+        disp = jax.lax.dynamic_slice_in_dim(full, my * ht, ht, axis=rows_axis)
+
+    padded = halo_exchange_rows(disp, 1, axis_name, k)
+    med = median_filter_3x3(padded)[..., 1:1 + ht, :]
+    gr = my * ht + jnp.arange(ht)
+    border = (gr == 0) | (gr == h_total - 1)
+    return jnp.where(border[:, None], disp, med)
+
+
 def _tiled_forward_single(
     left_tile: jnp.ndarray,
     right_tile: jnp.ndarray,
@@ -227,32 +268,7 @@ def _tiled_forward_single(
     cost = hamming_cost_volume(cl, cr, options.min_disparity, options.max_disparity)
     aggr = tiled_aggregate(cost, left_tile, options, axis_name, k,
                            cross_tile, diagonal_mode)
-    # see models/sgm.py: sidesteps an XLA TPU fusion miscompile under vmap
-    aggr = jax.lax.optimization_barrier(aggr)
-
-    disp = compute_disparity(aggr, options, inverse=False)
-    if options.is_check_lr:
-        disp_r = compute_disparity(aggr, options, inverse=True)
-        disp = lr_check(disp, disp_r, options.lrcheck_thres,
-                        max_shift=max(options.max_disparity, 1))
-
-    ht = disp.shape[-2]
-    my = jax.lax.axis_index(axis_name) if k > 1 else 0
-
-    if options.is_remove_speckles:
-        # global connectivity: gather the (small) disparity plane
-        if k > 1:
-            full = jax.lax.all_gather(disp, axis_name, axis=0, tiled=True)
-        else:
-            full = disp
-        full = remove_speckles(full, 1.0, options.min_speckle_area)
-        disp = jax.lax.dynamic_slice_in_dim(full, my * ht, ht, axis=0)
-
-    padded = halo_exchange_rows(disp, 1, axis_name, k)
-    med = median_filter_3x3(padded)[1:1 + ht, :]
-    gr = my * ht + jnp.arange(ht)
-    border = (gr == 0) | (gr == h_total - 1)
-    return jnp.where(border[:, None], disp, med)
+    return _post_aggregation(aggr, options, axis_name, k, h_total)
 
 
 def _tiled_forward_batch_pipelined(
@@ -272,31 +288,7 @@ def _tiled_forward_batch_pipelined(
                                options.max_disparity)
     aggr = tiled_aggregate_pipelined(
         cost, lefts, options, axis_name, k, diagonal_mode, num_micro)
-    aggr = jax.lax.optimization_barrier(aggr)
-
-    disp = compute_disparity(aggr, options, inverse=False)
-    if options.is_check_lr:
-        disp_r = compute_disparity(aggr, options, inverse=True)
-        disp = lr_check(disp, disp_r, options.lrcheck_thres,
-                        max_shift=max(options.max_disparity, 1))
-
-    ht = disp.shape[-2]
-    my = jax.lax.axis_index(axis_name) if k > 1 else 0
-
-    if options.is_remove_speckles:
-        if k > 1:
-            full = jax.lax.all_gather(disp, axis_name, axis=1, tiled=True)
-        else:
-            full = disp
-        full = jax.vmap(
-            lambda d: remove_speckles(d, 1.0, options.min_speckle_area))(full)
-        disp = jax.lax.dynamic_slice_in_dim(full, my * ht, ht, axis=1)
-
-    padded = halo_exchange_rows(disp, 1, axis_name, k)
-    med = median_filter_3x3(padded)[:, 1:1 + ht, :]
-    gr = my * ht + jnp.arange(ht)
-    border = (gr == 0) | (gr == h_total - 1)
-    return jnp.where(border[:, None], disp, med)
+    return _post_aggregation(aggr, options, axis_name, k, h_total)
 
 
 def make_tiled_matcher(
