@@ -13,7 +13,9 @@ depth is vacuous — the assertion target is the protocol + scoring +
 stats machinery end-to-end.
 """
 
+import hashlib
 import json
+import os
 import socket
 import subprocess
 import sys
@@ -24,10 +26,34 @@ import pytest
 
 REF_SERVER_DIR = Path("/root/reference/HostScript_Server")
 
+# The reference checkout is untrusted public content we execute in a
+# subprocess; pin the modules the launcher imports by content hash so an
+# altered checkout is detected rather than run (recorded 2026-08-16).
+REF_SERVER_SHA256 = {
+    "server.py":
+        "956ad8eefef9d474be2202ba8914eafeca0f39c234cf1124bec6bdc7269fe48b",
+    "stereo_image.py":
+        "c43f8df87e30d2ebe286463685a5e95e10edc39e2ccb4ade5bce0571aa636ff0",
+    "stereo_calibration.py":
+        "4ffc6958f31c60e69c33088ec0323ed5d5cb7f29c4f52189406c6b9ccc72222f",
+    "depth_image.py":
+        "b61992ff1778b25ed54611247e38e138957f4468650cd97a84d9492918ad6461",
+}
+
 pytest.importorskip("cv2", reason="reference server needs OpenCV")
 pytestmark = pytest.mark.skipif(
     not (REF_SERVER_DIR / "server.py").exists(),
     reason="reference checkout not available")
+
+
+def _check_reference_pinned():
+    for name, want in REF_SERVER_SHA256.items():
+        got = hashlib.sha256((REF_SERVER_DIR / name).read_bytes()).hexdigest()
+        if got != want:
+            pytest.fail(
+                f"reference {name} content changed (sha256 {got[:12]}… != "
+                f"pinned {want[:12]}…); refusing to execute an altered "
+                "checkout — re-review and re-pin")
 
 
 def _free_port() -> int:
@@ -65,15 +91,20 @@ def test_reference_server_scores_engine(tmp_path):
     to_middlebury2014("/root/reference/SemiGlobalMatching/Data/cone",
                       tmp_path / "data" / "all" / "cone2")
 
+    _check_reference_pinned()
     port = _free_port()
     width, height = 160, 120
     launcher = tmp_path / "launch_ref_server.py"
     launcher.write_text(LAUNCHER.format(ref_dir=REF_SERVER_DIR))
+    # Minimal environment: the untrusted server subprocess gets only what
+    # the interpreter + cv2/numpy need, not this session's full env.
+    minimal_env = {k: v for k, v in os.environ.items()
+                   if k in ("PATH", "HOME", "LANG", "LC_ALL", "TMPDIR")}
     proc = subprocess.Popen(
         [sys.executable, str(launcher), str(tmp_path), str(port),
          str(width), str(height)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        env={**__import__("os").environ, "JAX_PLATFORMS": ""},
+        env=minimal_env,
     )
     try:
         deadline = time.time() + 30
@@ -93,21 +124,29 @@ def test_reference_server_scores_engine(tmp_path):
             options=SGMOptions(max_disparity=16, min_speckle_area=8))
         assert frames == 2
 
+        # NB: the port-readiness probe above also registered as a client, so
+        # the server writes a zero-frame stats file for it — scan all stats
+        # files for the engine client's (the one that scored 2 frames).
         stats_dir = tmp_path / "result" / "stats"
         deadline = time.time() + 20
-        stats_files = []
+        stats = None
+        seen = []
         while time.time() < deadline:
-            stats_files = list(stats_dir.glob("*.txt"))
-            if stats_files:
+            seen = list(stats_dir.glob("*.txt"))
+            for f in seen:
                 try:
-                    stats = json.loads(stats_files[0].read_text())
-                    if stats.get("total_frames") == 2:
-                        break
+                    candidate = json.loads(f.read_text())
                 except (json.JSONDecodeError, ValueError):
-                    pass
+                    continue
+                if candidate.get("total_frames") == 2:
+                    stats = candidate
+                    break
+            if stats is not None:
+                break
             time.sleep(0.5)
-        assert stats_files, "reference server wrote no stats"
-        stats = json.loads(stats_files[0].read_text())
+        assert stats is not None, (
+            f"no stats file with total_frames == 2; saw "
+            f"{[(f.name, f.read_text()[:200]) for f in seen]}")
         assert stats["total_frames"] == 2
         assert len(stats["measurements"]) == 2
         for m in stats["measurements"]:
