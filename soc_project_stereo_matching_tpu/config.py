@@ -101,6 +101,17 @@ class EngineConfig:
     #  'local'     : H-tiles with tile-local path restarts (overlap SGM)
     tile_mode: str = "none"
 
+    # Diagonal path geometry (see ops/aggregation.py):
+    #  'wrap'    : the reference's mod-W edge-wrapping diagonals (default)
+    #  'restart' : standard SGM — paths restart at image edges
+    diagonal_mode: str = "wrap"
+
+    def __post_init__(self) -> None:
+        if self.tile_mode not in ("none", "exact", "pipelined", "local"):
+            raise ValueError(f"unknown tile_mode {self.tile_mode!r}")
+        if self.diagonal_mode not in ("wrap", "restart"):
+            raise ValueError(f"unknown diagonal_mode {self.diagonal_mode!r}")
+
 
 def load_yaml_config(path) -> Tuple[SGMOptions, EngineConfig]:
     """Load ``{sgm: {...}, engine: {...}}`` YAML into config dataclasses.

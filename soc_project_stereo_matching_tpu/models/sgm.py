@@ -113,9 +113,6 @@ class SGMEngine:
         self.options = options
         self.config = config
         self.mesh = mesh
-        if mesh is not None and config.tile_mode not in (
-                "none", "exact", "pipelined", "local"):
-            raise ValueError(f"unknown tile_mode {config.tile_mode!r}")
         self._tiled = {}
         self._batched = jax.jit(
             lambda l, r: sgm_forward(
@@ -124,7 +121,7 @@ class SGMEngine:
         )
 
     def _diag_mode(self) -> str:
-        return "wrap"
+        return self.config.diagonal_mode
 
     def _use_pallas(self) -> bool:
         return self.config.use_pallas and jax.default_backend() == "tpu"
@@ -153,6 +150,7 @@ class SGMEngine:
                     self.options, self.mesh, h, w,
                     cross_tile=self.config.tile_mode,
                     diagonal_mode=self._diag_mode(),
+                    use_pallas=self._use_pallas(),
                 )
             return self._tiled[key](lefts, rights)
         return self._batched(lefts, rights)

@@ -71,18 +71,42 @@ def _auto_block_rows(d: int, w: int, requested: int) -> int:
     return rows
 
 
+def _divisor_block_rows(s: int, d: int, w: int, requested: int) -> int:
+    """Largest divisor of s that fits the VMEM-derived row budget.
+
+    Carry-aware scans cannot pad the scan axis (padded zero rows scanned
+    after the real rows would corrupt the outgoing DP carry), so the chunk
+    size must divide the true length."""
+    cap = _auto_block_rows(d, w, requested)
+    for rows in range(min(cap, s), 0, -1):
+        if s % rows == 0:
+            return rows
+    return 1
+
+
 def _scan_group_kernel(
-    cost_ref, p2_ref, acc_ref, out_ref, carry_cost, carry_min,
+    cost_ref, p2_ref, acc_ref, cin_cost_ref, cin_min_ref,
+    out_ref, cout_cost_ref, cout_min_ref, carry_cost, carry_min,
     *, rows: int, d: int, w: int, rolls: Sequence[int], reverse: bool,
     p1: int, restart: bool,
 ):
-    """One (batch, row-chunk) grid step of a fused multi-direction DP scan."""
+    """One (batch, row-chunk) grid step of a fused multi-direction DP scan.
+
+    With ``cin_*``/``cout_*`` refs the scan continues an upstream tile's DP
+    state instead of starting fresh paths, and emits the state after its
+    last row — the cross-tile carry interface used by parallel/tiles.py
+    (the reference's path walk, SemiGlobalMatching.c:229-372, sharded over
+    the row axis)."""
     chunk = pl.program_id(1)
 
     @pl.when(chunk == 0)
     def _init():
-        carry_cost[...] = jnp.zeros_like(carry_cost)
-        carry_min[...] = jnp.zeros_like(carry_min)
+        if cin_cost_ref is None:
+            carry_cost[...] = jnp.zeros_like(carry_cost)
+            carry_min[...] = jnp.zeros_like(carry_min)
+        else:
+            carry_cost[...] = cin_cost_ref[0]
+            carry_min[...] = cin_min_ref[0]
 
     d_iota = jax.lax.broadcasted_iota(jnp.int32, (d, w), 0)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (d, w), 1)
@@ -121,6 +145,11 @@ def _scan_group_kernel(
 
     jax.lax.fori_loop(0, rows, step, (), unroll=False)
 
+    if cout_cost_ref is not None:
+        # same output block every chunk -> the last chunk's state survives
+        cout_cost_ref[0] = carry_cost[...]
+        cout_min_ref[0] = carry_min[...]
+
 
 def _directional_scan_group(
     cost: jnp.ndarray,       # (B, S, D, P) int8 — S is the scan axis
@@ -131,10 +160,22 @@ def _directional_scan_group(
     p1: int,
     restart: bool,
     block_rows: int,
-) -> jnp.ndarray:
+    carry_in=None,           # (cost (B, n, D, P), min (B, n, 1, P)) int32
+    want_carry: bool = False,
+):
+    """Fused multi-direction DP scan; returns the (B, S, D, P) uint16 sum of
+    the group's direction contributions (added onto ``acc`` when given), and
+    — when ``carry_in``/``want_carry`` — the outgoing per-direction DP state.
+    """
     b, s, d, p = cost.shape
-    # shrink chunks for large (D, P); s is padded to a power-of-two multiple
-    block_rows = _auto_block_rows(d, p, block_rows)
+    n = len(rolls)
+    has_carry = carry_in is not None or want_carry
+    if has_carry:
+        # no scan-axis padding allowed: pick a divisor chunk size
+        block_rows = _divisor_block_rows(s, d, p, block_rows)
+    else:
+        # shrink chunks for large (D, P); s is pre-padded by the caller
+        block_rows = _auto_block_rows(d, p, block_rows)
     assert s % block_rows == 0, (s, block_rows)
     grid = (b, s // block_rows)
 
@@ -156,43 +197,91 @@ def _directional_scan_group(
         lambda bi, ci: (bi, 0, grid[1] - 1 - ci if reverse else ci, 0),
         memory_space=pltpu.VMEM,
     )
+    ccost_spec = pl.BlockSpec((1, n, d, p), lambda bi, ci: (bi, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    cmin_spec = pl.BlockSpec((1, n, 1, p), lambda bi, ci: (bi, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
 
+    in_specs = [vol_spec(), p2_spec]
+    inputs = [cost, p2]
+    io_aliases = {}
     if acc is not None:
-        kern = base
-        in_specs = [vol_spec(), p2_spec, vol_spec()]
-        inputs = [cost, p2, acc]
+        in_specs.append(vol_spec())
+        inputs.append(acc)
         io_aliases = {2: 0}
-    else:
-        def kern(cost_ref, p2_ref, out_ref, cc, cm):
-            base(cost_ref, p2_ref, None, out_ref, cc, cm)
-        in_specs = [vol_spec(), p2_spec]
-        inputs = [cost, p2]
-        io_aliases = {}
+    if carry_in is not None:
+        in_specs += [ccost_spec, cmin_spec]
+        inputs += [carry_in[0], carry_in[1]]
 
-    return pl.pallas_call(
+    out_specs = [vol_spec()]
+    out_shapes = [jax.ShapeDtypeStruct((b, s, d, p), jnp.uint16)]
+    if has_carry:
+        out_specs += [ccost_spec, cmin_spec]
+        out_shapes += [jax.ShapeDtypeStruct((b, n, d, p), jnp.int32),
+                       jax.ShapeDtypeStruct((b, n, 1, p), jnp.int32)]
+
+    has_acc = acc is not None
+    has_cin = carry_in is not None
+
+    def kern(*refs):
+        i = 2
+        acc_ref = cin_c = cin_m = cout_c = cout_m = None
+        if has_acc:
+            acc_ref = refs[i]; i += 1
+        if has_cin:
+            cin_c, cin_m = refs[i], refs[i + 1]; i += 2
+        out_ref = refs[i]; i += 1
+        if has_carry:
+            cout_c, cout_m = refs[i], refs[i + 1]; i += 2
+        cc, cm = refs[i], refs[i + 1]
+        base(refs[0], refs[1], acc_ref, cin_c, cin_m,
+             out_ref, cout_c, cout_m, cc, cm)
+
+    res = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=vol_spec(),
-        out_shape=jax.ShapeDtypeStruct((b, s, d, p), jnp.uint16),
+        out_specs=out_specs if has_carry else out_specs[0],
+        out_shape=out_shapes if has_carry else out_shapes[0],
         scratch_shapes=[
-            pltpu.VMEM((len(rolls), d, p), jnp.int32),
-            pltpu.VMEM((len(rolls), 1, p), jnp.int32),
+            pltpu.VMEM((n, d, p), jnp.int32),
+            pltpu.VMEM((n, 1, p), jnp.int32),
         ],
         input_output_aliases=io_aliases,
         compiler_params=_VMEM_PARAMS,
         interpret=_interpret(),
     )(*inputs)
+    if has_carry:
+        out, cout_cost, cout_min = res
+        return out, (cout_cost, cout_min)
+    return res
+
+
+def directional_scan_group(cost, p2, acc, rolls, reverse, p1, restart,
+                           block_rows=32, carry_in=None, want_carry=False):
+    """Public carry-aware entry point for parallel/tiles.py; see
+    ``_directional_scan_group``."""
+    return _directional_scan_group(cost, p2, acc, rolls, reverse, p1,
+                                   restart, block_rows, carry_in, want_carry)
 
 
 def _p2_planes(img: jnp.ndarray, rolls: Sequence[int], axis_prev: int,
-               p1: int, p2_init: int) -> jnp.ndarray:
+               p1: int, p2_init: int,
+               prev_row: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """(B, S, P) int32 image -> (B, nrolls, S, P) adaptive-P2 planes.
 
     axis_prev: +1 if the previous path pixel is at scan index s-1 (forward
     scan), -1 for s+1 (reverse).  Lane roll r means the carry is rolled by
-    r before use, i.e. the previous pixel sits at lane j - r (mod P)."""
+    r before use, i.e. the previous pixel sits at lane j - r (mod P).
+
+    ``prev_row`` (B, P): the neighbour-tile boundary gray row replacing the
+    wrapped edge row (index 0 for forward scans, -1 for reverse) — the gray
+    component of the cross-tile ScanCarry.  For a fresh path start its
+    value is irrelevant (a zero DP carry makes the P2 term non-binding)."""
     prev_s = jnp.roll(img, axis_prev, axis=-2)
+    if prev_row is not None:
+        edge = 0 if axis_prev == +1 else prev_s.shape[-2] - 1
+        prev_s = prev_s.at[..., edge, :].set(prev_row)
     planes = []
     for r in rolls:
         prev = jnp.roll(prev_s, r, axis=-1) if r else prev_s
@@ -225,7 +314,6 @@ def aggregate_paths(
 
     cost8 = cost.astype(jnp.int8)  # values <= 127 + border 127: exact
     hp = _round_up(h, block_rows)
-    wp = _round_up(w, block_rows)
 
     # ---- vertical groups (6 of 8 paths; 2 of 4) --------------------------
     v_rolls_f = (0, 1, -1) if options.num_paths == 8 else (0,)
@@ -241,11 +329,27 @@ def aggregate_paths(
         cost_v, jnp.pad(p2_b, pad_p2), part_v, v_rolls_b, True, p1, restart,
         block_rows)[:, :h]
 
-    # ---- horizontal groups on the (W, D, H) view -------------------------
-    cost_t = jnp.pad(cost8.transpose(0, 3, 2, 1), ((0, 0), (0, wp - w), (0, 0), (0, 0)))
+    part_h = horizontal_partial(cost8, img, p1, p2i, restart, block_rows)
+
+    out = part_v + part_h
+    return out[0] if unbatched else out
+
+
+def horizontal_partial(cost8: jnp.ndarray, img: jnp.ndarray, p1: int,
+                       p2_init: int, restart: bool,
+                       block_rows: int = 32) -> jnp.ndarray:
+    """Both horizontal passes on the (W, D, H) view; tile-local in the
+    H-sharded layout, so parallel/tiles.py reuses it verbatim.
+
+    cost8: (B, H, D, W) int8; img: (B, H, W) int32.
+    Returns the (B, H, D, W) uint16 sum of the two horizontal directions."""
+    b, h, d, w = cost8.shape
+    wp = _round_up(w, block_rows)
+    cost_t = jnp.pad(cost8.transpose(0, 3, 2, 1),
+                     ((0, 0), (0, wp - w), (0, 0), (0, 0)))
     img_t = img.transpose(0, 2, 1)
-    p2_hf = _p2_planes(img_t, (0,), +1, p1, p2i)
-    p2_hb = _p2_planes(img_t, (0,), -1, p1, p2i)
+    p2_hf = _p2_planes(img_t, (0,), +1, p1, p2_init)
+    p2_hb = _p2_planes(img_t, (0,), -1, p1, p2_init)
     pad_p2t = ((0, 0), (0, 0), (0, wp - w), (0, 0))
     part_h = _directional_scan_group(
         cost_t, jnp.pad(p2_hf, pad_p2t), None, (0,), False, p1, restart,
@@ -253,9 +357,7 @@ def aggregate_paths(
     part_h = _directional_scan_group(
         cost_t, jnp.pad(p2_hb, pad_p2t), part_h, (0,), True, p1, restart,
         block_rows)[:, :w]
-
-    out = part_v + part_h.transpose(0, 3, 2, 1)
-    return out[0] if unbatched else out
+    return part_h.transpose(0, 3, 2, 1)
 
 
 BIG = 1 << 30
@@ -644,18 +746,24 @@ def _popcount32(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _census_cost_kernel(imgl_ref, imgr_ref, out_ref, *, rows: int, h: int,
-                        w: int, dmin: int, dmax: int):
+                        w: int, dmin: int, dmax: int, mask_rows: bool):
     """Fused 5x5 census + Hamming cost volume for one row chunk.
 
     Reference: census_transform_5x5 (SemiGlobalMatching.c:134-159) and
     ComputeCost/Hamming32 (:161-196).  Images arrive 2-row-padded so the
     census halo never leaves VMEM; lane rolls only contaminate the 2-px
     census border, which is masked to code 0 exactly like the reference's
-    never-written border rows."""
+    never-written border rows.
+
+    ``mask_rows=False``: the 2-row census border mask is skipped — used by
+    the tiled path, whose halo rows come from neighbour devices and whose
+    global border rows are fixed up in XLA afterwards (parallel/tiles.py)."""
     r0 = pl.program_id(1) * rows  # top row of this chunk (unpadded coords)
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0) + r0
-    interior = (row >= 2) & (row < h - 2) & (lane >= 2) & (lane < w - 2)
+    interior = (lane >= 2) & (lane < w - 2)
+    if mask_rows:
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0) + r0
+        interior &= (row >= 2) & (row < h - 2)
 
     def census(img_ref):
         # One aligned slab load (r0 is a multiple of the block size; Mosaic
@@ -683,31 +791,42 @@ def _census_cost_kernel(imgl_ref, imgr_ref, out_ref, *, rows: int, h: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("min_disparity", "max_disparity", "block_rows"))
+    jax.jit, static_argnames=("min_disparity", "max_disparity", "block_rows",
+                              "img_has_halo"))
 def census_cost_volume_pallas(
     img_left: jnp.ndarray,
     img_right: jnp.ndarray,
     min_disparity: int,
     max_disparity: int,
     block_rows: int = 32,
+    img_has_halo: bool = False,
 ) -> jnp.ndarray:
     """uint8 (..., H, W) pair -> (..., H, D, W) uint8 cost volume, fusing
-    census_5x5 + hamming_cost_volume in one pass (bit-equal to both)."""
+    census_5x5 + hamming_cost_volume in one pass (bit-equal to both).
+
+    ``img_has_halo``: inputs are (..., H+4, W) with 2 explicit halo rows on
+    each side (cross-tile halo exchange); the output has H rows and carries
+    NO census row-border masking — the tiled caller masks the global border
+    rows itself."""
     unbatched = img_left.ndim == 2
     if unbatched:
         img_left, img_right = img_left[None], img_right[None]
     batch = img_left.shape[:-2]
-    h, w = img_left.shape[-2:]
+    h_in, w = img_left.shape[-2:]
+    h = h_in - 4 if img_has_halo else h_in
     d = max_disparity - min_disparity
-    flat_l = img_left.reshape((-1, h, w))
-    flat_r = img_right.reshape((-1, h, w))
+    flat_l = img_left.reshape((-1, h_in, w))
+    flat_r = img_right.reshape((-1, h_in, w))
     b = flat_l.shape[0]
     block_rows = _auto_block_rows(d, w, block_rows)
     hp = _round_up(h, block_rows)
 
     # 2-row census halo + slab-alignment padding, all resolved host-side.
     # int32 planes: Mosaic can't vector.load int8 at dynamic sublane offsets.
-    pad = ((0, 0), (2, hp - h + 6), (0, 0))
+    if img_has_halo:
+        pad = ((0, 0), (0, hp - h + 4), (0, 0))
+    else:
+        pad = ((0, 0), (2, hp - h + 6), (0, 0))
     pl_pad = jnp.pad(flat_l.astype(jnp.int32), pad)
     pr_pad = jnp.pad(flat_r.astype(jnp.int32), pad)
 
@@ -715,7 +834,8 @@ def census_cost_volume_pallas(
                             memory_space=pltpu.VMEM)
     cost = pl.pallas_call(
         functools.partial(_census_cost_kernel, rows=block_rows, h=h, w=w,
-                          dmin=min_disparity, dmax=max_disparity),
+                          dmin=min_disparity, dmax=max_disparity,
+                          mask_rows=not img_has_halo),
         grid=(b, hp // block_rows),
         in_specs=[img_spec, img_spec],
         out_specs=pl.BlockSpec((1, block_rows, d, w),

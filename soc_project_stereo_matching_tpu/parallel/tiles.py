@@ -215,20 +215,34 @@ def tiled_aggregate(cost: jnp.ndarray, img: jnp.ndarray, options: SGMOptions,
 
 
 def _post_aggregation(aggr: jnp.ndarray, options: SGMOptions,
-                      axis_name: str, k: int, h_total: int) -> jnp.ndarray:
+                      axis_name: str, k: int, h_total: int,
+                      use_pallas: bool = False) -> jnp.ndarray:
     """Aggregated volume -> final disparity tile: WTA (+inverse/LR),
     all-gathered speckle labelling, halo median, global border mask.
 
     Dim-agnostic: aggr is (Ht, D, W) or (B_local, Ht, D, W); both tiled
-    paths share this tail so they stay bit-identical by construction."""
+    paths share this tail so they stay bit-identical by construction.  With
+    ``use_pallas`` the WTA reductions and speckle labelling run as kernels
+    (row-local / gathered-plane work, so tile-compatible as-is)."""
     # see models/sgm.py: sidesteps an XLA TPU fusion miscompile under vmap
     aggr = jax.lax.optimization_barrier(aggr)
 
-    disp = compute_disparity(aggr, options, inverse=False)
-    if options.is_check_lr:
-        disp_r = compute_disparity(aggr, options, inverse=True)
-        disp = lr_check(disp, disp_r, options.lrcheck_thres,
-                        max_shift=max(options.max_disparity, 1))
+    if use_pallas:
+        from ..ops import pallas_kernels as pk
+        from ..ops.wta import finalize_disparity
+
+        fwd, inv = pk.wta_reduce_pallas(aggr, options, options.is_check_lr)
+        disp = finalize_disparity(fwd, options)
+        if options.is_check_lr:
+            disp = lr_check(disp, finalize_disparity(inv, options),
+                            options.lrcheck_thres,
+                            max_shift=max(options.max_disparity, 1))
+    else:
+        disp = compute_disparity(aggr, options, inverse=False)
+        if options.is_check_lr:
+            disp_r = compute_disparity(aggr, options, inverse=True)
+            disp = lr_check(disp, disp_r, options.lrcheck_thres,
+                            max_shift=max(options.max_disparity, 1))
 
     ht = disp.shape[-2]
     rows_axis = disp.ndim - 2
@@ -241,8 +255,14 @@ def _post_aggregation(aggr: jnp.ndarray, options: SGMOptions,
                                       tiled=True)
         else:
             full = disp
-        spk = lambda d: remove_speckles(d, 1.0, options.min_speckle_area)
-        full = spk(full) if full.ndim == 2 else jax.vmap(spk)(full)
+        if use_pallas:
+            from ..ops import pallas_kernels as pk
+
+            full = pk.remove_speckles_pallas(full, 1.0,
+                                             options.min_speckle_area)
+        else:
+            spk = lambda d: remove_speckles(d, 1.0, options.min_speckle_area)
+            full = spk(full) if full.ndim == 2 else jax.vmap(spk)(full)
         disp = jax.lax.dynamic_slice_in_dim(full, my * ht, ht, axis=rows_axis)
 
     padded = halo_exchange_rows(disp, 1, axis_name, k)
@@ -250,6 +270,156 @@ def _post_aggregation(aggr: jnp.ndarray, options: SGMOptions,
     gr = my * ht + jnp.arange(ht)
     border = (gr == 0) | (gr == h_total - 1)
     return jnp.where(border[:, None], disp, med)
+
+
+# ---------------------------------------------------------------------------
+# Pallas tiled path: the same exact cross-tile schedules, but every per-tile
+# scan runs the fused multi-direction Pallas DP kernel (carry-in/carry-out)
+# instead of lax.scan — so the multi-chip modes keep the single-chip kernel
+# speed (the hot loop of SemiGlobalMatching.c:229-372, sharded over rows).
+# ---------------------------------------------------------------------------
+
+
+def _zero_group_carry(b: int, n: int, d: int, w: int):
+    return (jnp.zeros((b, n, d, w), jnp.int32),
+            jnp.zeros((b, n, 1, w), jnp.int32))
+
+
+def _group_scan_chained_pallas(cost8, p2, rolls, reverse, p1, restart,
+                               axis_name, k):
+    """K-round chained exact scan of one fused direction group (the Pallas
+    counterpart of ``_chained_scan``, 3 directions per launch)."""
+    from ..ops import pallas_kernels as pk
+
+    b, s, d, w = cost8.shape
+    n = len(rolls)
+    my = jax.lax.axis_index(axis_name)
+    perm = _perm_up(k) if reverse else _perm_down(k)
+
+    out, carry = pk.directional_scan_group(
+        cost8, p2, None, rolls, reverse, p1, restart,
+        carry_in=_zero_group_carry(b, n, d, w), want_carry=True)
+    first = jnp.int32(k - 1) if reverse else jnp.int32(0)
+    for step in range(1, k):
+        cin = tuple(jax.lax.ppermute(c, axis_name, perm) for c in carry)
+        out_c, carry_c = pk.directional_scan_group(
+            cost8, p2, None, rolls, reverse, p1, restart,
+            carry_in=cin, want_carry=True)
+        mine = my == (first + (-step if reverse else step))
+        out = jnp.where(mine, out_c, out)
+        carry = tuple(jnp.where(mine, cc, c)
+                      for cc, c in zip(carry_c, carry))
+    return out
+
+
+def _group_scan_pipelined_pallas(cost8, p2, rolls, reverse, p1, restart,
+                                 axis_name, k, num_micro):
+    """Microbatch-wavefront exact scan of one fused direction group (the
+    Pallas counterpart of ``_pipelined_scan``)."""
+    from ..ops import pallas_kernels as pk
+
+    b, s, d, w = cost8.shape
+    n = len(rolls)
+    if b % num_micro:
+        raise ValueError(
+            f"per-device batch {b} not divisible by num_micro={num_micro}")
+    mb = b // num_micro
+    my = jax.lax.axis_index(axis_name)
+    pos = (k - 1 - my) if reverse else my
+    perm = _perm_up(k) if reverse else _perm_down(k)
+
+    carry = _zero_group_carry(mb, n, d, w)
+    out = jnp.zeros((b, s, d, w), jnp.uint16)
+    for step in range(num_micro + k - 1):
+        m = step - pos
+        mc = jnp.clip(m, 0, num_micro - 1) * mb
+        cmb = jax.lax.dynamic_slice_in_dim(cost8, mc, mb, axis=0)
+        p2mb = jax.lax.dynamic_slice_in_dim(p2, mc, mb, axis=0)
+        contrib, carry_out = pk.directional_scan_group(
+            cmb, p2mb, None, rolls, reverse, p1, restart,
+            carry_in=carry, want_carry=True)
+        active = (m >= 0) & (m < num_micro)
+        cur = jax.lax.dynamic_slice_in_dim(out, mc, mb, axis=0)
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out, jnp.where(active, contrib, cur), mc, axis=0)
+        carry = tuple(jax.lax.ppermute(c, axis_name, perm)
+                      for c in carry_out)
+    return out
+
+
+def _tiled_forward_batch_pallas(
+    lefts: jnp.ndarray,
+    rights: jnp.ndarray,
+    options: SGMOptions,
+    axis_name: str,
+    k: int,
+    h_total: int,
+    cross_tile: str,
+    diagonal_mode: str,
+    num_micro: int,
+) -> jnp.ndarray:
+    """Full Pallas pipeline on (B_local, Ht, W) tile batches: fused
+    census+cost with explicit cross-tile halo, fused direction-group DP
+    scans with cross-tile carries (chained / pipelined / local), Pallas WTA
+    + speckle tail."""
+    from ..ops import pallas_kernels as pk
+
+    b, ht, w = lefts.shape
+    restart = diagonal_mode == "restart"
+    p1, p2i = options.p1, options.p2_init
+    dmin, dmax = options.min_disparity, options.max_disparity
+
+    # --- fused census + cost with neighbour-halo rows ---------------------
+    pad_l = halo_exchange_rows(lefts, 2, axis_name, k)
+    pad_r = halo_exchange_rows(rights, 2, axis_name, k)
+    cost = pk.census_cost_volume_pallas(pad_l, pad_r, dmin, dmax,
+                                        img_has_halo=True)
+    # global census border rows (census code 0 -> cost 0 in range, 127 OOB)
+    my = jax.lax.axis_index(axis_name) if k > 1 else 0
+    gr = my * ht + jnp.arange(ht)
+    border = (gr < 2) | (gr >= h_total - 2)
+    lane = jnp.arange(w)
+    dvals = jnp.arange(dmin, dmax)
+    oob = (lane[None, :] - dvals[:, None] < 0) | \
+          (lane[None, :] - dvals[:, None] >= w)
+    fix = jnp.where(oob, jnp.uint8(127), jnp.uint8(0))
+    cost = jnp.where(border[None, :, None, None], fix[None, None], cost)
+
+    # --- aggregation ------------------------------------------------------
+    cost8 = cost.astype(jnp.int8)
+    img = lefts.astype(jnp.int32)
+    part = pk.horizontal_partial(cost8, img, p1, p2i, restart)
+
+    v_rolls_f = (0, 1, -1) if options.num_paths == 8 else (0,)
+    v_rolls_b = (0, -1, 1) if options.num_paths == 8 else (0,)
+    # boundary gray rows for the adaptive-P2 planes: constant per tile, so
+    # one halo hop up front replaces the per-round gray carry
+    if k > 1:
+        prev_f = jax.lax.ppermute(img[:, -1, :], axis_name, _perm_down(k))
+        prev_b = jax.lax.ppermute(img[:, 0, :], axis_name, _perm_up(k))
+    else:
+        prev_f = prev_b = None
+    p2_f = pk._p2_planes(img, v_rolls_f, +1, p1, p2i, prev_row=prev_f)
+    p2_b = pk._p2_planes(img, v_rolls_b, -1, p1, p2i, prev_row=prev_b)
+
+    for rolls, reverse, p2 in ((v_rolls_f, False, p2_f),
+                               (v_rolls_b, True, p2_b)):
+        if cross_tile == "local" or k == 1:
+            contrib = pk.directional_scan_group(
+                cost8, p2, None, rolls, reverse, p1, restart,
+                want_carry=True)[0]
+        elif cross_tile == "pipelined":
+            contrib = _group_scan_pipelined_pallas(
+                cost8, p2, rolls, reverse, p1, restart, axis_name, k,
+                num_micro)
+        else:
+            contrib = _group_scan_chained_pallas(
+                cost8, p2, rolls, reverse, p1, restart, axis_name, k)
+        part = part + contrib
+    aggr = part.astype(jnp.uint16)
+
+    return _post_aggregation(aggr, options, axis_name, k, h_total,
+                             use_pallas=True)
 
 
 def _tiled_forward_single(
@@ -299,6 +469,7 @@ def make_tiled_matcher(
     cross_tile: str = "exact",
     diagonal_mode: str = "wrap",
     num_micro: int = 0,
+    use_pallas: bool = False,
 ):
     """Build a jitted (B, H, W) x2 -> (B, H, W) matcher sharded over the
     mesh: batch across 'data', rows across 'tile'.
@@ -306,12 +477,23 @@ def make_tiled_matcher(
     cross_tile: 'exact' (K-round chained carries), 'pipelined' (exact,
     microbatch wavefront through the tile ring — num_micro chunks of the
     per-device batch, 0 = one image per microbatch), or 'local'
-    (tile-restarted paths, the overlap-SGM approximation)."""
+    (tile-restarted paths, the overlap-SGM approximation).
+
+    use_pallas: run the fused Pallas kernels for census+cost, the
+    direction-group DP scans (with cross-tile carry-in/out), WTA and
+    speckle — all three cross_tile modes supported, bit-identical to the
+    jnp path."""
     k = mesh.shape["tile"]
     if h % k:
         raise ValueError(f"H={h} not divisible by tile axis size {k}")
 
-    if cross_tile == "pipelined":
+    if use_pallas:
+        def local_fn(lefts, rights):
+            nm = num_micro if num_micro > 0 else lefts.shape[0]
+            return _tiled_forward_batch_pallas(
+                lefts, rights, options, "tile", k, h, cross_tile,
+                diagonal_mode, nm)
+    elif cross_tile == "pipelined":
         def local_fn(lefts, rights):
             nm = num_micro if num_micro > 0 else lefts.shape[0]
             return _tiled_forward_batch_pipelined(
