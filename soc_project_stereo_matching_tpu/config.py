@@ -55,6 +55,12 @@ class SGMOptions:
     median_inplace: bool = False
 
     def __post_init__(self) -> None:
+        if self.min_disparity < 0:
+            # the reference's min_disparity is uint16_t (SemiGlobalMatching.h
+            # :28); negative values would also break the lane-roll LR check
+            # (ops/postprocess.lr_check bounds its select by max_disparity)
+            raise ValueError(
+                f"min_disparity ({self.min_disparity}) must be >= 0")
         if self.max_disparity <= self.min_disparity:
             raise ValueError(
                 f"max_disparity ({self.max_disparity}) must exceed "

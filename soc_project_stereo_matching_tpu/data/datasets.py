@@ -190,9 +190,29 @@ def discover_kitti(root: PathLike) -> List[str]:
     return sorted(p.name[:-7] for p in img_dir.glob("*_10.png"))
 
 
+@dataclasses.dataclass(frozen=True)
+class KittiFrameRef:
+    """Lazy handle to one KITTI frame: resolved by ``load_pair`` inside the
+    evaluation loop, so a 200-frame run never materialises ~1 GB of pixel
+    data up front."""
+
+    root: str
+    frame_id: str
+
+    @property
+    def name(self) -> str:
+        return f"kitti2015/{self.frame_id}"
+
+
+def kitti_frame_refs(root: PathLike) -> List["KittiFrameRef"]:
+    return [KittiFrameRef(str(root), fid) for fid in discover_kitti(root)]
+
+
 def load_pair(folder: PathLike) -> StereoPair:
     if isinstance(folder, StereoPair):
         return folder
+    if isinstance(folder, KittiFrameRef):
+        return load_pair_kitti(folder.root, folder.frame_id)
     folder = Path(folder)
     if (folder / "calib.txt").exists():
         return load_pair_2014(folder)

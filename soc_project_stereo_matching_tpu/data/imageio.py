@@ -73,6 +73,42 @@ def save_disparity_png(path: PathLike, disparity: np.ndarray) -> Tuple[float, fl
     return lo, hi
 
 
+def save_depth_png16(path: PathLike, depth: np.ndarray,
+                     min_depth: float = None,
+                     max_depth: float = None) -> Tuple[float, float]:
+    """Save a depth map as a normalised 16-bit grayscale PNG.
+
+    Reference semantics (HostScript_Server/depth_image.py:231-269
+    ``convert_and_save_depth_image``): with explicit ``min_depth``/
+    ``max_depth`` the map is clipped then scaled to [0, 65535]; otherwise
+    auto-normalised by nanmin/nanmax; NaN/inf pixels map to 0; values are
+    rounded to uint16.  Returns the depth map's (nanmin, nanmax) like the
+    reference does."""
+    depth = np.asarray(depth, dtype=np.float64)
+    if min_depth is not None and max_depth is not None:
+        scaled = np.clip(depth, min_depth, max_depth)
+        scaled = (scaled - min_depth) / (max_depth - min_depth) * 65535.0
+    elif np.any(np.isfinite(depth)):
+        with np.errstate(invalid="ignore"):
+            lo, hi = np.nanmin(depth), np.nanmax(depth)
+        scaled = (depth - lo) / ((hi - lo) or 1.0) * 65535.0
+    else:
+        scaled = np.zeros_like(depth)
+    scaled = np.nan_to_num(scaled, nan=0.0, posinf=0.0, neginf=0.0)
+    out = np.round(scaled).astype(np.uint16)
+    Image.fromarray(out).save(path)  # uint16 -> 16-bit grayscale PNG
+    with np.errstate(invalid="ignore"):
+        return (float(np.nanmin(depth)) if np.any(np.isfinite(depth)) else float("nan"),
+                float(np.nanmax(depth)) if np.any(np.isfinite(depth)) else float("nan"))
+
+
+def load_depth_png16(path: PathLike) -> np.ndarray:
+    """Load a 16-bit grayscale PNG as uint16 (round-trip of
+    ``save_depth_png16``'s quantised values)."""
+    img = Image.open(path)
+    return np.asarray(img, dtype=np.uint16)
+
+
 def resize_image(img: np.ndarray, width: int, height: int) -> np.ndarray:
     """Resize mirroring the host platform (stereo_image.py:4-34):
     area-average for downscale, bilinear for upscale."""

@@ -43,6 +43,7 @@ class HarnessConfig:
     resume: bool = False                # skip pairs already in stats_path
     max_disparity: Optional[int] = None  # override per-pair dmax
     use_pair_disparity_range: bool = True
+    timing_iters: int = 3               # chained timing iterations per pair
 
 
 class EvaluationHarness:
@@ -68,14 +69,15 @@ class EvaluationHarness:
     # -- single pair --------------------------------------------------------
     def evaluate_pair(self, pair: StereoPair) -> dict:
         engine = self._engine_for(pair)
-        # warm-up compile excluded from timing (the reference's FPS likewise
-        # excludes board boot)
-        disp = np.asarray(engine.match(pair.img_left, pair.img_right))
-        t0 = time.perf_counter()
-        disp_j = engine.match(pair.img_left, pair.img_right)
-        disp_j.block_until_ready()
-        duration = time.perf_counter() - t0
-        disp = np.asarray(disp_j)
+        # Chained timing (utils/profiling.chained_match_time): the warm-up
+        # compile is excluded (the reference's FPS likewise excludes board
+        # boot), and the measured calls form a dependency chain so a lazily
+        # dispatching TPU runtime cannot fake the number.
+        from ..utils.profiling import chained_match_time
+
+        duration, disp = chained_match_time(
+            engine.match, pair.img_left, pair.img_right,
+            iters=self.config.timing_iters)
 
         valid = np.isfinite(disp)
         depth = np.where(
@@ -165,10 +167,10 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.data is not None and (Path(args.data) / "image_2").is_dir():
-        from ..data.datasets import discover_kitti, load_pair_kitti
+        from ..data.datasets import kitti_frame_refs
 
-        folders = [load_pair_kitti(args.data, fid)
-                   for fid in discover_kitti(args.data)]
+        # lazy refs: each frame is loaded inside the evaluation loop
+        folders = kitti_frame_refs(args.data)
     elif args.data is not None:
         folders = discover_datasets(args.data) or sorted(
             p for p in Path(args.data).iterdir() if p.is_dir())

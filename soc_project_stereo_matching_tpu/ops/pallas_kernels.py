@@ -701,6 +701,21 @@ def remove_speckles_pallas(disp: jnp.ndarray, diff_insame: float = 1.0,
         disp = disp[None]
     batch = disp.shape[:-2]
     h, w = disp.shape[-2:]
+
+    # The label kernel keeps the whole frame plus the while-loop's log-depth
+    # temporaries resident in VMEM (~12 (H, W) int32 planes); beyond ~2M
+    # pixels that exceeds the 116M cap before the histogram choice even
+    # matters, so large frames take the XLA path (associative-scan min
+    # propagation, HBM-tiled by the compiler).
+    if h * w > 2_000_000:
+        from .postprocess import remove_speckles as _jnp_speckles
+
+        flat = disp.reshape((-1, h, w))
+        out = jax.vmap(
+            lambda d: _jnp_speckles(d, diff_insame, min_area))(flat)
+        out = out.reshape(batch + (h, w))
+        return out[0] if unbatched else out
+
     flat = disp.reshape((-1, h, w))
     b = flat.shape[0]
 
@@ -722,19 +737,9 @@ def remove_speckles_pallas(disp: jnp.ndarray, diff_insame: float = 1.0,
     )(flat)
 
     finite = jnp.isfinite(flat)
-    if h * w <= 2_000_000:
-        small = _small_label_mask(
-            labels.reshape(b, -1), finite.reshape(b, -1), min_area
-        ).reshape(b, h, w)
-    else:
-        # The MXU histogram is O(N^2) in pixel count (N pixels x N/512
-        # hi-bins); beyond ~2M pixels (4K frames) XLA scatter-add wins.
-        n = h * w
-        counts = jax.vmap(
-            lambda lab, fin: jnp.zeros((n,), jnp.int32).at[lab.reshape(-1)]
-            .add(fin.reshape(-1).astype(jnp.int32)))(labels, finite)
-        small = (jnp.take_along_axis(counts, labels.reshape(b, -1), axis=-1)
-                 < min_area).reshape(b, h, w)
+    small = _small_label_mask(
+        labels.reshape(b, -1), finite.reshape(b, -1), min_area
+    ).reshape(b, h, w)
     out = jnp.where(finite & small, jnp.float32(jnp.inf), flat)
     out = out.reshape(batch + (h, w))
     return out[0] if unbatched else out

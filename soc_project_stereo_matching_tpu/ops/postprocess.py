@@ -35,7 +35,7 @@ def lr_check(
     disp_left: jnp.ndarray,
     disp_right: jnp.ndarray,
     thres: float,
-    max_shift: int = 0,
+    max_shift: int,
 ) -> jnp.ndarray:
     """Invalidate left disparities inconsistent with the right map.
 
@@ -45,8 +45,14 @@ def lr_check(
     TPU note: ``disp_right[j - round(disp)]`` is a per-lane gather, which
     TPU executes near-serially.  Since the shift is bounded by the
     disparity range, it is instead computed as a (max_shift+2)-way select
-    over lane-rolled copies of the right map — pure VPU work.  max_shift=0
-    derives the bound from the finite values present (safe cap: W)."""
+    over lane-rolled copies of the right map — pure VPU work.  max_shift
+    must therefore bound the disparity values present (callers pass
+    ``options.max_disparity``); it is required because a silent W-sized
+    default would cost O(W) rolled copies."""
+    if max_shift <= 0:
+        raise ValueError(
+            f"max_shift={max_shift}: pass the disparity bound "
+            "(e.g. options.max_disparity) — it sizes the roll-select")
     w = disp_left.shape[-1]
     cols = jnp.arange(w, dtype=jnp.float32)
     valid = jnp.isfinite(disp_left)
@@ -56,8 +62,6 @@ def lr_check(
     in_range = (col_right >= 0) & (col_right < w)
 
     shift = jnp.arange(w, dtype=jnp.int32) - col_right   # j - col_right
-    if max_shift <= 0:
-        max_shift = w - 1
     disp_r = jnp.zeros_like(disp_right)
     for k in range(-1, min(max_shift, w - 1) + 2):
         disp_r = jnp.where(shift == k, jnp.roll(disp_right, k, axis=-1), disp_r)

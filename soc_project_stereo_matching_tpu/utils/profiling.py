@@ -38,6 +38,36 @@ def chained_time(step: Callable, x0, iters: int = 10) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def chained_match_time(match_fn: Callable, left, right, iters: int = 3):
+    """Honest per-call timing of a stereo match ``(l, r) -> disp``.
+
+    Returns ``(seconds_per_call, disp)`` where ``disp`` is the true result
+    for the *unperturbed* inputs (from the warm-up call).  Timing iterations
+    derive the next left image from the previous disparity (low-bit XOR) so
+    no call can be elided or overlapped by a lazily-dispatching runtime —
+    the same methodology as bench.py, replacing the single-shot
+    ``block_until_ready`` pattern that measures fantasy numbers under the
+    tunnelled TPU relay (CLAUDE.md)."""
+    import numpy as np
+
+    @jax.jit
+    def step(l, r):
+        out = match_fn(l, r)
+        return l ^ jnp.isfinite(out).astype(jnp.uint8), out
+
+    left = jnp.asarray(left, jnp.uint8)
+    right = jnp.asarray(right, jnp.uint8)
+    _, out0 = step(left, right)            # warm-up / compile
+    disp = np.asarray(out0)                # fetch forces execution
+
+    t0 = time.perf_counter()
+    l = left
+    for _ in range(iters):
+        l, out = step(l, right)
+    jax.device_get(jnp.ravel(out)[0])      # forces the whole chain
+    return (time.perf_counter() - t0) / iters, disp
+
+
 class StageTimer:
     """Named host-side span accumulator.
 

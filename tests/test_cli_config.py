@@ -60,6 +60,34 @@ def test_cli_match_with_yaml_config(tmp_path):
     assert rc == 0 and out.exists()
 
 
+def test_engine_config_validation_and_diagonal_mode():
+    import numpy as np
+    import pytest
+
+    from soc_project_stereo_matching_tpu import EngineConfig, SGMOptions
+    from soc_project_stereo_matching_tpu.models.sgm import SGMEngine
+
+    with pytest.raises(ValueError, match="tile_mode"):
+        EngineConfig(tile_mode="bogus")
+    with pytest.raises(ValueError, match="diagonal_mode"):
+        EngineConfig(diagonal_mode="bogus")
+    with pytest.raises(ValueError, match="min_disparity"):
+        SGMOptions(min_disparity=-2)
+
+    # diagonal_mode flows through the engine: both modes run and differ on
+    # content where paths wrap image edges
+    opts = SGMOptions(max_disparity=16, min_speckle_area=8)
+    rng = np.random.default_rng(11)
+    l = rng.integers(0, 256, (24, 64), dtype=np.uint8)
+    r = rng.integers(0, 256, (24, 64), dtype=np.uint8)
+    wrap = np.asarray(SGMEngine(opts, EngineConfig()).match(l, r))
+    restart = np.asarray(
+        SGMEngine(opts, EngineConfig(diagonal_mode="restart")).match(l, r))
+    assert wrap.shape == restart.shape == l.shape
+    assert not np.array_equal(
+        np.nan_to_num(wrap, posinf=-1), np.nan_to_num(restart, posinf=-1))
+
+
 def test_chained_time_and_stagetimer():
     import jax.numpy as jnp
 

@@ -131,6 +131,36 @@ def test_depth_conversion_matches_reference(tmp_path, ref_host):
     assert np.allclose(ours, theirs, rtol=1e-6)
 
 
+def test_depth_png16_matches_reference(tmp_path, ref_host):
+    """save_depth_png16 reproduces convert_and_save_depth_image
+    (depth_image.py:231-269) bit-for-bit, auto and explicit norm."""
+    import logging
+
+    import cv2
+
+    from soc_project_stereo_matching_tpu.data.imageio import (
+        load_depth_png16, save_depth_png16)
+
+    rng = np.random.default_rng(7)
+    depth = rng.uniform(500.0, 5000.0, (24, 32)).astype(np.float32)
+    depth[3, 4] = np.nan
+    depth[5, 6] = np.inf
+
+    log = logging.getLogger("t")
+    for kwargs in ({}, {"min_depth": 800.0, "max_depth": 4000.0}):
+        ours_p = tmp_path / "ours.png"
+        refs_p = tmp_path / "refs.png"
+        lo, hi = save_depth_png16(ours_p, depth, **kwargs)
+        rlo, rhi = ref_host["depth"].convert_and_save_depth_image(
+            refs_p, depth.copy(), log, **kwargs)
+        ours = load_depth_png16(ours_p)
+        refs = cv2.imread(str(refs_p), cv2.IMREAD_UNCHANGED)
+        assert ours.dtype == np.uint16 and refs.dtype == np.uint16
+        assert np.array_equal(ours, refs), (kwargs, np.abs(
+            ours.astype(int) - refs.astype(int)).max())
+        assert np.isclose(lo, rlo) and np.isclose(hi, rhi)
+
+
 def test_resize_depth_matches_cv2_nearest():
     cv2 = pytest.importorskip("cv2")
     rng = np.random.default_rng(5)

@@ -79,8 +79,18 @@ def test_wta_inverse(stages):
 
 
 def test_lr_check(stages):
-    got = postprocess.lr_check(stages["disp_l"], stages["disp_r"], OPTS.lrcheck_thres)
+    got = postprocess.lr_check(stages["disp_l"], stages["disp_r"],
+                               OPTS.lrcheck_thres,
+                               max_shift=OPTS.max_disparity)
     assert _disp_equal(got, stages["lr"])
+
+
+def test_lr_check_requires_shift_bound(stages):
+    import pytest
+
+    with pytest.raises(ValueError, match="max_shift"):
+        postprocess.lr_check(stages["disp_l"], stages["disp_r"],
+                             OPTS.lrcheck_thres, max_shift=0)
 
 
 def test_remove_speckles(stages):
