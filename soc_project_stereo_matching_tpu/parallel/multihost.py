@@ -30,8 +30,12 @@ def initialize(coordinator_address: Optional[str] = None,
 
     With no arguments, relies on the environment (TPU pod metadata or the
     JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID variables);
-    a lone process without any of those is left untouched."""
-    if jax.process_count() > 1:
+    a lone process without any of those is left untouched.
+
+    NB: must run before anything initialises the XLA backend — so the guard
+    uses ``jax.distributed.is_initialized()``, NOT ``jax.process_count()``
+    (which would itself initialise the backend)."""
+    if jax.distributed.is_initialized():
         return  # already initialised
     env_coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coordinator_address is None and env_coord is None \
