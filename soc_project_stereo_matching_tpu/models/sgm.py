@@ -42,7 +42,16 @@ def sgm_forward(
 
         cost = pk.census_cost_volume_pallas(
             img_left, img_right, options.min_disparity, options.max_disparity)
-        aggr = pk.aggregate_paths(cost, img_left, options, diagonal_mode)
+        # fused aggregation + WTA: the final DP launch emits the reduction
+        # planes from VMEM, so the volume is never re-read by a WTA pass
+        fwd, inv = pk.aggregate_paths_wta(
+            cost, img_left, options, diagonal_mode,
+            include_inverse=options.is_check_lr)
+        disp = finalize_disparity(fwd, options)
+        if options.is_check_lr:
+            disp = lr_check(disp, finalize_disparity(inv, options),
+                            options.lrcheck_thres,
+                            max_shift=max(options.max_disparity, 1))
     else:
         cl = census_5x5(img_left)
         cr = census_5x5(img_right)
@@ -55,24 +64,14 @@ def sgm_forward(
                 lambda c, i: aggregate_paths(c, i, options, diagonal_mode)
             )(cost, img_left)
 
-    # XLA TPU miscompiles the fused (vmapped scan sum) -> (two argmin
-    # consumers incl. a shifted view) pattern: the uint16 aggregation output
-    # itself comes back wrong under vmap.  The barrier materialises the
-    # volume (which HBM residency requires anyway) and sidesteps the bad
-    # fusion.  Verified: single==batched==oracle with the barrier; 44% of
-    # entries diverge without it (TPU v5e, jax 0.9).
-    aggr = jax.lax.optimization_barrier(aggr)
+        # XLA TPU miscompiles the fused (vmapped scan sum) -> (two argmin
+        # consumers incl. a shifted view) pattern: the uint16 aggregation
+        # output itself comes back wrong under vmap.  The barrier
+        # materialises the volume (which HBM residency requires anyway) and
+        # sidesteps the bad fusion.  Verified: single==batched==oracle with
+        # the barrier; 44% of entries diverge without it (TPU v5e, jax 0.9).
+        aggr = jax.lax.optimization_barrier(aggr)
 
-    if use_pallas:
-        from ..ops import pallas_kernels as pk
-
-        fwd, inv = pk.wta_reduce_pallas(aggr, options, options.is_check_lr)
-        disp = finalize_disparity(fwd, options)
-        if options.is_check_lr:
-            disp = lr_check(disp, finalize_disparity(inv, options),
-                            options.lrcheck_thres,
-                            max_shift=max(options.max_disparity, 1))
-    else:
         disp = compute_disparity(aggr, options, inverse=False)
         if options.is_check_lr:
             disp_right = compute_disparity(aggr, options, inverse=True)

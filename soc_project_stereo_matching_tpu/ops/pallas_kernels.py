@@ -86,9 +86,9 @@ def _divisor_block_rows(s: int, d: int, w: int, requested: int) -> int:
 
 def _scan_group_kernel(
     cost_ref, p2_ref, acc_ref, cin_cost_ref, cin_min_ref,
-    out_ref, cout_cost_ref, cout_min_ref, carry_cost, carry_min,
+    out_ref, cout_cost_ref, cout_min_ref, wta_refs, carry_cost, carry_min,
     *, rows: int, d: int, w: int, rolls: Sequence[int], reverse: bool,
-    p1: int, restart: bool,
+    p1: int, restart: bool, wta=None,
 ):
     """One (batch, row-chunk) grid step of a fused multi-direction DP scan.
 
@@ -96,7 +96,13 @@ def _scan_group_kernel(
     state instead of starting fresh paths, and emits the state after its
     last row — the cross-tile carry interface used by parallel/tiles.py
     (the reference's path walk, SemiGlobalMatching.c:229-372, sharded over
-    the row axis)."""
+    the row axis).
+
+    With ``wta=(dmin, include_inverse)`` this is the FINAL launch (its
+    ``acc`` already carries every other direction's sum): once the chunk's
+    rows are complete the WTA reduction planes are computed on the block
+    while it is still VMEM-resident and written to ``wta_refs`` — saving
+    the separate WTA pass's full read of the aggregated volume."""
     chunk = pl.program_id(1)
 
     @pl.when(chunk == 0)
@@ -150,6 +156,14 @@ def _scan_group_kernel(
         cout_cost_ref[0] = carry_cost[...]
         cout_min_ref[0] = carry_min[...]
 
+    if wta is not None:
+        dmin, include_inverse = wta
+        a = out_ref[0].astype(jnp.int32)           # final totals, in VMEM
+        planes = _wta_reduce_block(a, rows=rows, d=d, w=w, dmin=dmin,
+                                   include_inverse=include_inverse)
+        for ref, val in zip(wta_refs, planes):
+            ref[0] = val
+
 
 def _directional_scan_group(
     cost: jnp.ndarray,       # (B, S, D, P) int8 — S is the scan axis
@@ -162,10 +176,13 @@ def _directional_scan_group(
     block_rows: int,
     carry_in=None,           # (cost (B, n, D, P), min (B, n, 1, P)) int32
     want_carry: bool = False,
+    wta=None,                # (dmin, include_inverse): emit WTA planes
 ):
     """Fused multi-direction DP scan; returns the (B, S, D, P) uint16 sum of
     the group's direction contributions (added onto ``acc`` when given), and
     — when ``carry_in``/``want_carry`` — the outgoing per-direction DP state.
+    With ``wta`` also returns the per-row WTA reduction planes of the final
+    totals (see ``_scan_group_kernel``).
     """
     b, s, d, p = cost.shape
     n = len(rolls)
@@ -182,8 +199,9 @@ def _directional_scan_group(
     base = functools.partial(
         _scan_group_kernel,
         rows=block_rows, d=d, w=p, rolls=tuple(rolls), reverse=reverse,
-        p1=p1, restart=restart,
+        p1=p1, restart=restart, wta=wta,
     )
+    n_wta = 0 if wta is None else (10 if wta[1] else 5)
 
     def vol_spec():
         return pl.BlockSpec(
@@ -213,15 +231,23 @@ def _directional_scan_group(
         in_specs += [ccost_spec, cmin_spec]
         inputs += [carry_in[0], carry_in[1]]
 
+    plane_spec = pl.BlockSpec(
+        (1, block_rows, p),
+        lambda bi, ci: (bi, grid[1] - 1 - ci if reverse else ci, 0),
+        memory_space=pltpu.VMEM)
+
     out_specs = [vol_spec()]
     out_shapes = [jax.ShapeDtypeStruct((b, s, d, p), jnp.uint16)]
     if has_carry:
         out_specs += [ccost_spec, cmin_spec]
         out_shapes += [jax.ShapeDtypeStruct((b, n, d, p), jnp.int32),
                        jax.ShapeDtypeStruct((b, n, 1, p), jnp.int32)]
+    out_specs += [plane_spec] * n_wta
+    out_shapes += [jax.ShapeDtypeStruct((b, s, p), jnp.int32)] * n_wta
 
     has_acc = acc is not None
     has_cin = carry_in is not None
+    multi_out = has_carry or n_wta
 
     def kern(*refs):
         i = 2
@@ -233,16 +259,17 @@ def _directional_scan_group(
         out_ref = refs[i]; i += 1
         if has_carry:
             cout_c, cout_m = refs[i], refs[i + 1]; i += 2
+        wta_refs = refs[i:i + n_wta]; i += n_wta
         cc, cm = refs[i], refs[i + 1]
         base(refs[0], refs[1], acc_ref, cin_c, cin_m,
-             out_ref, cout_c, cout_m, cc, cm)
+             out_ref, cout_c, cout_m, wta_refs, cc, cm)
 
     res = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=out_specs if has_carry else out_specs[0],
-        out_shape=out_shapes if has_carry else out_shapes[0],
+        out_specs=out_specs if multi_out else out_specs[0],
+        out_shape=out_shapes if multi_out else out_shapes[0],
         scratch_shapes=[
             pltpu.VMEM((n, d, p), jnp.int32),
             pltpu.VMEM((n, 1, p), jnp.int32),
@@ -251,10 +278,19 @@ def _directional_scan_group(
         compiler_params=_VMEM_PARAMS,
         interpret=_interpret(),
     )(*inputs)
+    if not multi_out:
+        return res
+    res = list(res)
+    out = res.pop(0)
+    carry_out = None
     if has_carry:
-        out, cout_cost, cout_min = res
-        return out, (cout_cost, cout_min)
-    return res
+        carry_out = (res.pop(0), res.pop(0))
+    planes = res
+    if n_wta and has_carry:
+        return out, carry_out, planes
+    if n_wta:
+        return out, planes
+    return out, carry_out
 
 
 def directional_scan_group(cost, p2, acc, rolls, reverse, p1, restart,
@@ -335,6 +371,66 @@ def aggregate_paths(
     return out[0] if unbatched else out
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "options", "diagonal_mode", "block_rows", "include_inverse"))
+def aggregate_paths_wta(
+    cost: jnp.ndarray,
+    img_left: jnp.ndarray,
+    options: SGMOptions,
+    diagonal_mode: str = "wrap",
+    block_rows: int = 32,
+    include_inverse: bool = True,
+):
+    """Fused aggregation + WTA: the horizontal passes run first, the two
+    vertical group launches accumulate onto them (io-aliased), and the
+    FINAL launch computes the WTA reduction planes on each finished chunk
+    while it is still VMEM-resident.  The aggregated volume is never
+    re-read by a separate WTA pass and the XLA partial-sum add disappears.
+
+    Returns (forward WTAPlanes, inverse WTAPlanes or None) — bit-equal to
+    ``aggregate_paths`` + ``wta_reduce_pallas``.
+    """
+    from .wta import WTAPlanes
+
+    restart = diagonal_mode == "restart"
+    unbatched = cost.ndim == 3
+    if unbatched:
+        cost = cost[None]
+        img_left = img_left[None]
+    b, h, d, w = cost.shape
+    p1, p2i = options.p1, options.p2_init
+    img = img_left.astype(jnp.int32)
+
+    cost8 = cost.astype(jnp.int8)
+    hp = _round_up(h, block_rows)
+    pad_vol = ((0, 0), (0, hp - h), (0, 0), (0, 0))
+
+    part_h = horizontal_partial(cost8, img, p1, p2i, restart, block_rows)
+
+    v_rolls_f = (0, 1, -1) if options.num_paths == 8 else (0,)
+    v_rolls_b = (0, -1, 1) if options.num_paths == 8 else (0,)
+    cost_v = jnp.pad(cost8, pad_vol)
+    p2_f = _p2_planes(img, v_rolls_f, +1, p1, p2i)
+    p2_b = _p2_planes(img, v_rolls_b, -1, p1, p2i)
+    pad_p2 = ((0, 0), (0, 0), (0, hp - h), (0, 0))
+
+    part = _directional_scan_group(
+        cost_v, jnp.pad(p2_f, pad_p2), jnp.pad(part_h, pad_vol),
+        v_rolls_f, False, p1, restart, block_rows)
+    _, planes = _directional_scan_group(
+        cost_v, jnp.pad(p2_b, pad_p2), part, v_rolls_b, True, p1, restart,
+        block_rows, wta=(options.min_disparity, include_inverse))
+
+    def crop(x):
+        x = x[:, :h]
+        return x[0] if unbatched else x
+
+    fwd = WTAPlanes(*(crop(o) for o in planes[:5]))
+    inv = WTAPlanes(*(crop(o) for o in planes[5:])) if include_inverse \
+        else None
+    return fwd, inv
+
+
 def horizontal_partial(cost8: jnp.ndarray, img: jnp.ndarray, p1: int,
                        p2_init: int, restart: bool,
                        block_rows: int = 32) -> jnp.ndarray:
@@ -364,26 +460,33 @@ BIG = 1 << 30
 _U16 = 65535
 
 
-def _wta_kernel(aggr_ref, *out_refs, rows: int, d: int, w: int,
-                dmin: int, include_inverse: bool):
-    """WTA volume reductions for one (batch, row-chunk) block.
+def _wta_reduce_block(a, *, rows: int, d: int, w: int, dmin: int,
+                      include_inverse: bool):
+    """WTA volume reductions for one (rows, D, W) int32 block; returns the
+    5 (or 10, with the inverse view) (rows, W) int32 planes.
 
     Forward view: first-argmin/min/second-min/neighbour costs over the d
-    axis via a packed (cost << 8 | d) key min — ties break to the smaller
-    d, matching the reference's first-minimum scan.
+    axis via a packed (cost << kshift | d) key min — ties break to the
+    smaller d, matching the reference's first-minimum scan.  kshift =
+    ceil(log2(d)) bits, so any disparity range up to 16384 fits the int32
+    key with the 16-bit costs (capacity by tiling, not static caps).
 
     Inverse view (``ComputeDisparity`` with inverse, SemiGlobalMatching.c
     :394-409): right cost R[r, k, j] = aggr[r, k, j + dmin + k], out of
     range -> UINT16_MAX.  The shear is applied lane-roll-by-lane-roll in a
     static d loop on (R, W) planes — no gathers.
+
+    Shared by the standalone WTA kernel and the fused final-aggregation
+    launch (the block is already resident in VMEM there).
     """
-    a = aggr_ref[0].astype(jnp.int32)                        # (R, D, W)
+    kshift = max(8, _ceil_log2(d))
+    kmask = (1 << kshift) - 1
     kidx = jax.lax.broadcasted_iota(jnp.int32, (rows, d, w), 1)
 
-    key = (a << 8) | kidx
+    key = (a << kshift) | kidx
     kmin = jnp.min(key, axis=1)                              # (R, W)
-    best = kmin & 0xFF
-    minc = kmin >> 8
+    best = kmin & kmask
+    minc = kmin >> kshift
     bestb = best[:, None, :]
     onbest = kidx == bestb
     sec = jnp.min(jnp.where(onbest, BIG, a), axis=1)
@@ -408,7 +511,7 @@ def _wta_kernel(aggr_ref, *out_refs, rows: int, d: int, w: int,
         # min over k != argmin since keys are distinct in k); rc1 latches
         # the previous plane whenever the minimum changes hands, rc2
         # latches the plane following the currently-best k.
-        big_key = (_U16 << 8) | 0xFF
+        big_key = (_U16 << kshift) | kmask
         min1 = jnp.full((rows, w), big_key, jnp.int32)
         min2 = jnp.full((rows, w), big_key, jnp.int32)
         rc1 = jnp.zeros((rows, w), jnp.int32)
@@ -416,20 +519,29 @@ def _wta_kernel(aggr_ref, *out_refs, rows: int, d: int, w: int,
         prev = None
         for k in range(d):
             cur = sheared(k)
-            key = (cur << 8) | k
+            key = (cur << kshift) | k
             took = key < min1
             min2 = jnp.minimum(min2, jnp.where(took, min1, key))
             min1 = jnp.minimum(min1, key)
             rc1 = jnp.where(took, cur if k == 0 else prev, rc1)
             if k > 0:
-                rc2 = jnp.where((min1 & 0xFF) == k - 1, cur, rc2)
+                rc2 = jnp.where((min1 & kmask) == k - 1, cur, rc2)
             prev = cur
-        rbest = min1 & 0xFF
-        rminc = min1 >> 8
-        rsec = min2 >> 8
+        rbest = min1 & kmask
+        rminc = min1 >> kshift
+        rsec = min2 >> kshift
         rc2 = jnp.where(rbest == d - 1, prev, rc2)
         outs += [rbest, rminc, rsec, rc1, rc2]
 
+    return outs
+
+
+def _wta_kernel(aggr_ref, *out_refs, rows: int, d: int, w: int,
+                dmin: int, include_inverse: bool):
+    """Standalone WTA reduction over one (batch, row-chunk) volume block."""
+    a = aggr_ref[0].astype(jnp.int32)                        # (R, D, W)
+    outs = _wta_reduce_block(a, rows=rows, d=d, w=w, dmin=dmin,
+                             include_inverse=include_inverse)
     for ref, val in zip(out_refs, outs):
         ref[0] = val
 
@@ -449,10 +561,10 @@ def wta_reduce_pallas(aggr: jnp.ndarray, options: SGMOptions,
     if unbatched:
         aggr = aggr[None]
     b, h, d, w = aggr.shape
-    if d > 256:
+    if d > 16384:
         raise ValueError(
-            f"disparity range {d} > 256: the (cost << 8 | d) argmin key "
-            "packs d into 8 bits; widen the key shift for larger ranges")
+            f"disparity range {d} > 16384: cost<<ceil_log2(d) | d no longer "
+            "fits an int32 argmin key")
     block_rows = _auto_block_rows(d, w, block_rows)
     hp = _round_up(h, block_rows)
     aggr_p = jnp.pad(aggr, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
@@ -490,6 +602,11 @@ def _ceil_log2(n: int) -> int:
     while (1 << k) < n:
         k += 1
     return k
+
+
+# Pixel budget of the in-VMEM speckle label kernel (~95 B/pixel vs the
+# 116M scoped cap; 720p = 0.92M fits, 1.5M spills).
+_SPECKLE_VMEM_PIXELS = 1_100_000
 
 
 def _speckle_labels_kernel(disp_ref, out_ref, mask_ref,
@@ -703,16 +820,38 @@ def remove_speckles_pallas(disp: jnp.ndarray, diff_insame: float = 1.0,
     h, w = disp.shape[-2:]
 
     # The label kernel keeps the whole frame plus the while-loop's log-depth
-    # temporaries resident in VMEM (~12 (H, W) int32 planes); beyond ~2M
-    # pixels that exceeds the 116M cap before the histogram choice even
-    # matters, so large frames take the XLA path (associative-scan min
-    # propagation, HBM-tiled by the compiler).
-    if h * w > 2_000_000:
-        from .postprocess import remove_speckles as _jnp_speckles
+    # temporaries resident in VMEM (~95 B/pixel measured: 1.5M pixels hit
+    # 143M of register spills vs the 116M cap).  Larger frames are split
+    # into row strips with a min_area-row halo, which is EXACT: a component
+    # with < min_area pixels fits within Chebyshev radius min_area-1 of any
+    # member (a connected path between members has <= area-1 steps), so the
+    # halo window sees such components whole; and a component reaching past
+    # the halo contains a path of >= min_area pixels inside the window, so
+    # its local count already classifies it as not-small.
+    if h * w > _SPECKLE_VMEM_PIXELS:
+        a = min_area
+        strip = _SPECKLE_VMEM_PIXELS // w - 2 * a
+        if strip < max(8, a):
+            # pathological min_area vs width: XLA path (associative-scan
+            # min propagation, HBM-tiled by the compiler)
+            from .postprocess import remove_speckles as _jnp_speckles
 
+            flat = disp.reshape((-1, h, w))
+            out = jax.vmap(
+                lambda d: _jnp_speckles(d, diff_insame, min_area))(flat)
+            out = out.reshape(batch + (h, w))
+            return out[0] if unbatched else out
+
+        n = -(-h // strip)
         flat = disp.reshape((-1, h, w))
-        out = jax.vmap(
-            lambda d: _jnp_speckles(d, diff_insame, min_area))(flat)
+        padded = jnp.pad(flat, ((0, 0), (a, a + n * strip - h), (0, 0)),
+                         constant_values=jnp.inf)
+        strips = jnp.concatenate(
+            [padded[:, i * strip:i * strip + strip + 2 * a] for i in range(n)],
+            axis=0)                                # (n*B, strip+2a, w)
+        filt = remove_speckles_pallas(strips, diff_insame, min_area)
+        core = filt[:, a:a + strip]                # strip interiors
+        out = jnp.concatenate(jnp.split(core, n, axis=0), axis=1)[:, :h]
         out = out.reshape(batch + (h, w))
         return out[0] if unbatched else out
 

@@ -65,6 +65,46 @@ def test_wta_kernel_parity(data):
         np.asarray(wta.compute_disparity(aggr, opt, inverse=False)))
 
 
+@pytest.mark.parametrize("mode", ["wrap", "restart"])
+def test_fused_aggregation_wta_parity(data, mode):
+    """aggregate_paths_wta (WTA planes emitted by the final DP launch) ==
+    aggregate_paths + wta_reduce_pallas, both views, batched+unbatched."""
+    cost, img = data
+    opt = SGMOptions(max_disparity=D)
+    costb = jnp.stack([cost, cost[::-1]])
+    imgb = jnp.stack([img, img[::-1]])
+    aggr = pk.aggregate_paths(costb, imgb, opt, mode, block_rows=8)
+    want_f, want_i = pk.wta_reduce_pallas(aggr, opt, True, block_rows=8)
+    got_f, got_i = pk.aggregate_paths_wta(costb, imgb, opt, mode,
+                                          block_rows=8)
+    for a, b in zip(want_f, got_f):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(want_i, got_i):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    un_f, un_none = pk.aggregate_paths_wta(cost, img, opt, mode,
+                                           block_rows=8,
+                                           include_inverse=False)
+    assert un_none is None
+    np.testing.assert_array_equal(np.asarray(un_f.best_idx),
+                                  np.asarray(got_f.best_idx[0]))
+
+
+def test_wta_kernel_wide_disparity_range():
+    """D > 256 (Middlebury-2014 full-range territory): the argmin key
+    widens to ceil(log2(D)) bits instead of a static 8-bit cap."""
+    d = 288
+    aggr = jnp.asarray(RNG.integers(0, 60000, (9, d, 40), dtype=np.uint16))
+    opt = SGMOptions(max_disparity=d)
+    fwd, inv = pk.wta_reduce_pallas(aggr, opt, include_inverse=True,
+                                    block_rows=8)
+    want_f = wta.wta_reduce(aggr, opt, inverse=False)
+    want_i = wta.wta_reduce(aggr, opt, inverse=True)
+    for got, want in zip(fwd, want_f):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    for got, want in zip(inv, want_i):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_census_cost_kernel_parity():
     il = jnp.asarray(RNG.integers(0, 256, (2, 40, 61), dtype=np.uint8))
     ir = jnp.asarray(RNG.integers(0, 256, (2, 40, 61), dtype=np.uint8))
@@ -82,6 +122,29 @@ def test_speckle_kernel_parity():
         np.asarray(postprocess.remove_speckles(dj[i], 1.0, 9))
         for i in range(2)])
     got = np.asarray(pk.remove_speckles_pallas(dj, 1.0, 9))
+    both_inf = np.isinf(want) & np.isinf(got)
+    assert ((np.isinf(want) == np.isinf(got)) & (both_inf | (want == got))).all()
+
+
+def test_speckle_strip_decomposition_exact():
+    """Frames above the VMEM pixel budget split into min_area-halo row
+    strips — exact, because small components fit within Chebyshev radius
+    min_area of any member.  Forced here via the budget constant on a
+    deliberately odd shape (fresh jit trace)."""
+    rng = np.random.default_rng(21)
+    h, w = 91, 67
+    d = rng.integers(0, 8, (2, h, w)).astype(np.float32)
+    d[rng.random((2, h, w)) < 0.35] = np.inf
+    dj = jnp.asarray(d)
+    want = np.stack([
+        np.asarray(postprocess.remove_speckles(dj[i], 1.0, 9))
+        for i in range(2)])
+    orig = pk._SPECKLE_VMEM_PIXELS
+    try:
+        pk._SPECKLE_VMEM_PIXELS = 40 * w   # strip interior = 22 rows
+        got = np.asarray(pk.remove_speckles_pallas(dj, 1.0, 9))
+    finally:
+        pk._SPECKLE_VMEM_PIXELS = orig
     both_inf = np.isinf(want) & np.isinf(got)
     assert ((np.isinf(want) == np.isinf(got)) & (both_inf | (want == got))).all()
 
