@@ -389,6 +389,11 @@ def aggregate_paths_wta(
 
     Returns (forward WTAPlanes, inverse WTAPlanes or None) — bit-equal to
     ``aggregate_paths`` + ``wta_reduce_pallas``.
+
+    For D > 192 the combined Mosaic program (DP scan + D-wide unrolled WTA
+    shear) exceeds the TPU compiler's limits (D=192 compiles, D=256
+    crashes the compiler), so the two-pass path runs instead — same
+    results, slightly more HBM traffic.
     """
     from .wta import WTAPlanes
 
@@ -398,6 +403,15 @@ def aggregate_paths_wta(
         cost = cost[None]
         img_left = img_left[None]
     b, h, d, w = cost.shape
+
+    if d > 192 and not _interpret():
+        aggr = aggregate_paths(cost, img_left, options, diagonal_mode,
+                               block_rows)
+        fwd, inv = wta_reduce_pallas(aggr, options, include_inverse)
+        if unbatched:
+            return (WTAPlanes(*(x[0] for x in fwd)),
+                    WTAPlanes(*(x[0] for x in inv)) if inv else None)
+        return fwd, inv
     p1, p2i = options.p1, options.p2_init
     img = img_left.astype(jnp.int32)
 
@@ -605,8 +619,9 @@ def _ceil_log2(n: int) -> int:
 
 
 # Pixel budget of the in-VMEM speckle label kernel (~95 B/pixel vs the
-# 116M scoped cap; 720p = 0.92M fits, 1.5M spills).
-_SPECKLE_VMEM_PIXELS = 1_100_000
+# 116M scoped cap; 720p = 0.92M fits, 1.10M strips still failed to
+# compile, 1.5M spills 143M — so cap just above 720p).
+_SPECKLE_VMEM_PIXELS = 950_000
 
 
 def _speckle_labels_kernel(disp_ref, out_ref, mask_ref,
