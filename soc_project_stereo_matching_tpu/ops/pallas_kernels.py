@@ -129,7 +129,7 @@ def _scan_group_kernel(
             if roll:
                 prev = _roll(prev, roll, axis=1)
                 pmin = _roll(pmin, roll, axis=1)
-            p2_row = p2_ref[0, k, pl.ds(row, 1)].astype(jnp.int32)   # (1, W)
+            p2_row = p2_ref[0, pl.ds(row, 1), k].astype(jnp.int32)   # (1, W)
             up = jnp.where(d_iota == 0, SENTINEL,
                            _roll(prev, 1, axis=0))          # L(p-r, d-1)
             dn = jnp.where(d_iota == d - 1, SENTINEL,
@@ -167,7 +167,7 @@ def _scan_group_kernel(
 
 def _directional_scan_group(
     cost: jnp.ndarray,       # (B, S, D, P) int8 — S is the scan axis
-    p2: jnp.ndarray,         # (B, nrolls, S, P) int32
+    p2: jnp.ndarray,         # (B, S, nrolls, P) int32
     acc: Optional[jnp.ndarray],   # (B, S, D, P) uint16 or None
     rolls: Sequence[int],
     reverse: bool,
@@ -210,9 +210,13 @@ def _directional_scan_group(
             memory_space=pltpu.VMEM,
         )
 
+    # (B, S, n, P) layout: the chunked S axis sits OUTSIDE the last two
+    # block dims, so any divisor chunk size is legal (Mosaic requires the
+    # last two dims be 8/128-divisible or equal the array dims — n and P
+    # equal theirs)
     p2_spec = pl.BlockSpec(
-        (1, len(rolls), block_rows, p),
-        lambda bi, ci: (bi, 0, grid[1] - 1 - ci if reverse else ci, 0),
+        (1, block_rows, len(rolls), p),
+        lambda bi, ci: (bi, grid[1] - 1 - ci if reverse else ci, 0, 0),
         memory_space=pltpu.VMEM,
     )
     ccost_spec = pl.BlockSpec((1, n, d, p), lambda bi, ci: (bi, 0, 0, 0),
@@ -304,7 +308,7 @@ def directional_scan_group(cost, p2, acc, rolls, reverse, p1, restart,
 def _p2_planes(img: jnp.ndarray, rolls: Sequence[int], axis_prev: int,
                p1: int, p2_init: int,
                prev_row: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """(B, S, P) int32 image -> (B, nrolls, S, P) adaptive-P2 planes.
+    """(B, S, P) int32 image -> (B, S, nrolls, P) adaptive-P2 planes.
 
     axis_prev: +1 if the previous path pixel is at scan index s-1 (forward
     scan), -1 for s+1 (reverse).  Lane roll r means the carry is rolled by
@@ -323,7 +327,7 @@ def _p2_planes(img: jnp.ndarray, rolls: Sequence[int], axis_prev: int,
         prev = jnp.roll(prev_s, r, axis=-1) if r else prev_s
         p2 = jnp.maximum(p1, p2_init // (jnp.abs(img - prev) + 1))
         planes.append(p2)
-    return jnp.stack(planes, axis=-3).astype(jnp.int32)
+    return jnp.stack(planes, axis=-2).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("options", "diagonal_mode", "block_rows"))
@@ -357,7 +361,7 @@ def aggregate_paths(
     cost_v = jnp.pad(cost8, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
     p2_f = _p2_planes(img, v_rolls_f, +1, p1, p2i)
     p2_b = _p2_planes(img, v_rolls_b, -1, p1, p2i)
-    pad_p2 = ((0, 0), (0, 0), (0, hp - h), (0, 0))
+    pad_p2 = ((0, 0), (0, hp - h), (0, 0), (0, 0))
     part_v = _directional_scan_group(
         cost_v, jnp.pad(p2_f, pad_p2), None, v_rolls_f, False, p1, restart,
         block_rows)
@@ -426,7 +430,7 @@ def aggregate_paths_wta(
     cost_v = jnp.pad(cost8, pad_vol)
     p2_f = _p2_planes(img, v_rolls_f, +1, p1, p2i)
     p2_b = _p2_planes(img, v_rolls_b, -1, p1, p2i)
-    pad_p2 = ((0, 0), (0, 0), (0, hp - h), (0, 0))
+    pad_p2 = ((0, 0), (0, hp - h), (0, 0), (0, 0))
 
     part = _directional_scan_group(
         cost_v, jnp.pad(p2_f, pad_p2), jnp.pad(part_h, pad_vol),
@@ -460,7 +464,7 @@ def horizontal_partial(cost8: jnp.ndarray, img: jnp.ndarray, p1: int,
     img_t = img.transpose(0, 2, 1)
     p2_hf = _p2_planes(img_t, (0,), +1, p1, p2_init)
     p2_hb = _p2_planes(img_t, (0,), -1, p1, p2_init)
-    pad_p2t = ((0, 0), (0, 0), (0, wp - w), (0, 0))
+    pad_p2t = ((0, 0), (0, wp - w), (0, 0), (0, 0))
     part_h = _directional_scan_group(
         cost_t, jnp.pad(p2_hf, pad_p2t), None, (0,), False, p1, restart,
         block_rows)

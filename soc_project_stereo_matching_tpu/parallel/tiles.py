@@ -510,6 +510,14 @@ def make_tiled_matcher(
             # lefts: (B_local, Ht, W) on each device
             return jax.vmap(single)(lefts, rights)
 
+    if mesh.size == 1:
+        # A 1-device mesh needs no collectives (k=1 paths skip them all),
+        # and the tunnelled single-chip TPU relay executes manually
+        # partitioned (shard_map) modules ~100x slower than plain jit —
+        # measured 1.4 s vs 16 ms/frame for the SAME jnp body on a (1,1)
+        # mesh — so the trivial mesh bypasses shard_map entirely.
+        return jax.jit(local_fn)
+
     spec = P("data", "tile", None)
     fn = shard_map(local_fn, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
                    check_vma=False)
