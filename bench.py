@@ -52,6 +52,17 @@ def load_pair():
 
 def main() -> None:
     import jax
+
+    # Persistent compilation cache: the full-pipeline XLA+Mosaic compile
+    # costs minutes through the remote relay; cache hits across processes
+    # cut a repeat bench to seconds.  Harmless if the backend ignores it.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/soc_sgm_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from soc_project_stereo_matching_tpu import EngineConfig, SGMOptions

@@ -107,6 +107,7 @@ def main():
     log(f"backend={jax.default_backend()}, devices={jax.devices()}")
     results = []
     for cfg in (
+            ("kitti2012-fullres", 1242, 375, 128, dict(batch=4)),
             ("kitti2015-geometry", 1242, 375, 192, dict(batch=4)),
             ("middlebury2014-half", 1500, 1000, 256, dict(batch=1, iters=3)),
             ("middlebury2014-half-tiled", 1500, 1000, 256,
