@@ -159,8 +159,11 @@ def _scan_group_kernel(
     if wta is not None:
         dmin, include_inverse = wta
         a = out_ref[0].astype(jnp.int32)           # final totals, in VMEM
+        load8 = (lambda c: out_ref[0, :, pl.ds(c * 8, 8), :]
+                 .astype(jnp.int32)) if d % 8 == 0 else None
         planes = _wta_reduce_block(a, rows=rows, d=d, w=w, dmin=dmin,
-                                   include_inverse=include_inverse)
+                                   include_inverse=include_inverse,
+                                   load8=load8)
         for ref, val in zip(wta_refs, planes):
             ref[0] = val
 
@@ -394,10 +397,11 @@ def aggregate_paths_wta(
     Returns (forward WTAPlanes, inverse WTAPlanes or None) — bit-equal to
     ``aggregate_paths`` + ``wta_reduce_pallas``.
 
-    For D > 192 the combined Mosaic program (DP scan + D-wide unrolled WTA
-    shear) exceeds the TPU compiler's limits (D=192 compiles, D=256
-    crashes the compiler), so the two-pass path runs instead — same
-    results, slightly more HBM traffic.
+    The inverse-shear runs as a fori_loop over 8-disparity slabs with
+    dynamic lane rotates, so the Mosaic program is O(D/8) and the fused
+    launch compiles at least up to D=256 (verified); beyond the tested
+    bound the two-pass path runs instead — same results, slightly more
+    HBM traffic.
     """
     from .wta import WTAPlanes
 
@@ -408,7 +412,7 @@ def aggregate_paths_wta(
         img_left = img_left[None]
     b, h, d, w = cost.shape
 
-    if d > 192 and not _interpret():
+    if d > 256 and not _interpret():
         aggr = aggregate_paths(cost, img_left, options, diagonal_mode,
                                block_rows)
         fwd, inv = wta_reduce_pallas(aggr, options, include_inverse)
@@ -479,7 +483,7 @@ _U16 = 65535
 
 
 def _wta_reduce_block(a, *, rows: int, d: int, w: int, dmin: int,
-                      include_inverse: bool):
+                      include_inverse: bool, load8=None):
     """WTA volume reductions for one (rows, D, W) int32 block; returns the
     5 (or 10, with the inverse view) (rows, W) int32 planes.
 
@@ -518,12 +522,6 @@ def _wta_reduce_block(a, *, rows: int, d: int, w: int, dmin: int,
     if include_inverse:
         lane = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
 
-        def sheared(k):
-            dd = dmin + k
-            plane = a[:, k, :]
-            valid = (lane + dd >= 0) & (lane + dd < w)
-            return jnp.where(valid, _roll(plane, -dd, axis=1), _U16)
-
         # Single online pass: min1/min2 key tracking gives first-argmin,
         # min and second-min (the 2nd-smallest key's cost is exactly the
         # min over k != argmin since keys are distinct in k); rc1 latches
@@ -534,17 +532,61 @@ def _wta_reduce_block(a, *, rows: int, d: int, w: int, dmin: int,
         min2 = jnp.full((rows, w), big_key, jnp.int32)
         rc1 = jnp.zeros((rows, w), jnp.int32)
         rc2 = jnp.zeros((rows, w), jnp.int32)
-        prev = None
-        for k in range(d):
-            cur = sheared(k)
+        prev = jnp.zeros((rows, w), jnp.int32)
+
+        def update(state, k, cur, first):
+            min1, min2, rc1, rc2, prev = state
             key = (cur << kshift) | k
             took = key < min1
             min2 = jnp.minimum(min2, jnp.where(took, min1, key))
             min1 = jnp.minimum(min1, key)
-            rc1 = jnp.where(took, cur if k == 0 else prev, rc1)
-            if k > 0:
-                rc2 = jnp.where((min1 & kmask) == k - 1, cur, rc2)
-            prev = cur
+            rc1 = jnp.where(took, jnp.where(first, cur, prev), rc1)
+            rc2 = jnp.where(jnp.logical_not(first)
+                            & ((min1 & kmask) == k - 1), cur, rc2)
+            return (min1, min2, rc1, rc2, cur)
+
+        state = (min1, min2, rc1, rc2, prev)
+        k0 = 0
+        if load8 is not None and d > 128:
+            # Dynamic shear: iterate 8-disparity slabs in a fori_loop with
+            # runtime lane rolls — O(d/8) Mosaic program size instead of an
+            # O(d) unroll, which crashes the compiler for the big fused
+            # launches (D=256).  load8(c) reads the 8-aligned slab
+            # a[:, 8c:8c+8, :] from the VMEM ref.  Gated to d > 128: the
+            # static unroll is ~2% faster at runtime and compiles fine for
+            # small ranges (cone headline stays at full speed).
+            #
+            # tpu.dynamic_rotate needs a native lane width, so the slab is
+            # lane-padded to a 128 multiple before rolling; the used lanes
+            # (j + dd < w <= wp) never read a wrapped value, so slicing
+            # back to w is exact.
+            nfull = d // 8
+            wp = _round_up(w, 128)
+
+            def chunk(c, state):
+                slab = load8(c)                           # (R, 8, W) int32
+                if wp != w:
+                    slab = jnp.pad(slab, ((0, 0), (0, 0), (0, wp - w)))
+                for j in range(8):
+                    k = c * 8 + j
+                    dd = dmin + k
+                    valid = (lane + dd >= 0) & (lane + dd < w)
+                    rolled = pltpu.roll(slab[:, j, :], (-dd) % wp,
+                                        axis=1)[:, :w]
+                    cur = jnp.where(valid, rolled, _U16)
+                    state = update(state, k, cur, k == 0)
+                return state
+
+            state = jax.lax.fori_loop(0, nfull, chunk, state)
+            k0 = nfull * 8
+
+        for k in range(k0, d):                           # static remainder
+            dd = dmin + k
+            valid = (lane + dd >= 0) & (lane + dd < w)
+            cur = jnp.where(valid, _roll(a[:, k, :], -dd, axis=1), _U16)
+            state = update(state, k, cur, k == 0)
+
+        min1, min2, rc1, rc2, prev = state
         rbest = min1 & kmask
         rminc = min1 >> kshift
         rsec = min2 >> kshift
@@ -558,8 +600,10 @@ def _wta_kernel(aggr_ref, *out_refs, rows: int, d: int, w: int,
                 dmin: int, include_inverse: bool):
     """Standalone WTA reduction over one (batch, row-chunk) volume block."""
     a = aggr_ref[0].astype(jnp.int32)                        # (R, D, W)
+    load8 = (lambda c: aggr_ref[0, :, pl.ds(c * 8, 8), :].astype(jnp.int32)) \
+        if d % 8 == 0 else None
     outs = _wta_reduce_block(a, rows=rows, d=d, w=w, dmin=dmin,
-                             include_inverse=include_inverse)
+                             include_inverse=include_inverse, load8=load8)
     for ref, val in zip(out_refs, outs):
         ref[0] = val
 
