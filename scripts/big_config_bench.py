@@ -53,6 +53,9 @@ def run_config(name, w, h, d, batch, iters=4, tiled=False):
     from soc_project_stereo_matching_tpu.models.sgm import SGMEngine
     from soc_project_stereo_matching_tpu.parallel.mesh import make_mesh
 
+    from soc_project_stereo_matching_tpu.utils.profiling import (
+        chained_match_time)
+
     opts = SGMOptions(max_disparity=d)
     left, right = load_resized(w, h)
     lefts = jnp.asarray(np.broadcast_to(left, (batch, h, w)))
@@ -73,23 +76,10 @@ def run_config(name, w, h, d, batch, iters=4, tiled=False):
         engine = SGMEngine(opts, EngineConfig(use_pallas=True))
         match = engine._batched
 
-    @jax.jit
-    def step(l, r):
-        out = match(l, r)
-        return l ^ jnp.isfinite(out).astype(jnp.uint8), out
-
-    t0 = time.perf_counter()
-    l, out = step(lefts, rights)
-    _ = jax.device_get(out[0, 0, 0])
-    compile_s = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    l = lefts
-    for _ in range(iters):
-        l, out = step(l, rights)
-    _ = jax.device_get(out[0, 0, 0])
-    dt = (time.perf_counter() - t0) / (iters * batch)
-    valid = float(np.isfinite(np.asarray(out[0])).mean())
+    dt_call, out0, compile_s = chained_match_time(
+        match, lefts, rights, iters=max(iters, 2), return_compile=True)
+    dt = dt_call / batch
+    valid = float(np.isfinite(out0[0]).mean())
     res = {"config": name, "width": w, "height": h, "max_disparity": d,
            "batch": batch, "tiled": tiled,
            "ms_per_frame": round(dt * 1e3, 2),

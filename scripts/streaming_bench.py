@@ -94,25 +94,14 @@ def main():
         f"-> {fps_stream:.1f} fps sustained")
 
     # --- device-only chained upper bound ---------------------------------
-    lefts_d = jnp.asarray(lefts0)
-    rights_d = jnp.asarray(rights0)
+    from soc_project_stereo_matching_tpu.utils.profiling import (
+        chained_match_time)
 
-    @jax.jit
-    def step(l, r):
-        out = engine._batched(l, r)
-        return l ^ jnp.isfinite(out).astype(jnp.uint8), out
-
-    x, out = step(lefts_d, rights_d)
-    _ = jax.device_get(out[0, 0, 0])
-    t0 = time.perf_counter()
-    x = lefts_d
-    for _ in range(N_BATCHES):
-        x, out = step(x, rights_d)
-    _ = jax.device_get(out[0, 0, 0])
-    dt_dev = time.perf_counter() - t0
-    fps_dev = N_BATCHES * BATCH / dt_dev
+    dt_call, _out = chained_match_time(engine._batched, lefts0, rights0,
+                                       iters=N_BATCHES)
+    fps_dev = BATCH / dt_call
     log(f"device-only chained: {fps_dev:.1f} fps "
-        f"({dt_dev / N_BATCHES / BATCH * 1e3:.2f} ms/frame)")
+        f"({dt_call / BATCH * 1e3:.2f} ms/frame)")
     eff = fps_stream / fps_dev
     log(f"input-pipeline overlap efficiency: {eff:.1%}")
 

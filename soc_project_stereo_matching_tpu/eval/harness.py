@@ -43,7 +43,7 @@ class HarnessConfig:
     resume: bool = False                # skip pairs already in stats_path
     max_disparity: Optional[int] = None  # override per-pair dmax
     use_pair_disparity_range: bool = True
-    timing_iters: int = 3               # chained timing iterations per pair
+    timing_iters: int = 8               # chained timing iterations (>= 2)
 
 
 class EvaluationHarness:
@@ -125,11 +125,17 @@ class EvaluationHarness:
 
         measurements: List[dict] = []
         for seq, folder in enumerate(folders):
-            pair = load_pair(folder)
-            if pair.name in done:
-                m = dict(done[pair.name])
+            # resume fast path: lazy handles (KittiFrameRef, Path) carry a
+            # .name — skip loading the frame entirely when already done
+            hint = getattr(folder, "name", None)
+            if hint is not None and hint in done:
+                m = dict(done[hint])
             else:
-                m = self.evaluate_pair(pair)
+                pair = load_pair(folder)
+                if pair.name in done:
+                    m = dict(done[pair.name])
+                else:
+                    m = self.evaluate_pair(pair)
             m["seq"] = seq
             measurements.append(m)
             if self.config.stats_path:

@@ -159,8 +159,7 @@ def _scan_group_kernel(
     if wta is not None:
         dmin, include_inverse = wta
         a = out_ref[0].astype(jnp.int32)           # final totals, in VMEM
-        load8 = (lambda c: out_ref[0, :, pl.ds(c * 8, 8), :]
-                 .astype(jnp.int32)) if d % 8 == 0 else None
+        load8 = lambda c: out_ref[0, :, pl.ds(c * 8, 8), :].astype(jnp.int32)
         planes = _wta_reduce_block(a, rows=rows, d=d, w=w, dmin=dmin,
                                    include_inverse=include_inverse,
                                    load8=load8)
@@ -600,8 +599,9 @@ def _wta_kernel(aggr_ref, *out_refs, rows: int, d: int, w: int,
                 dmin: int, include_inverse: bool):
     """Standalone WTA reduction over one (batch, row-chunk) volume block."""
     a = aggr_ref[0].astype(jnp.int32)                        # (R, D, W)
-    load8 = (lambda c: aggr_ref[0, :, pl.ds(c * 8, 8), :].astype(jnp.int32)) \
-        if d % 8 == 0 else None
+    # slab loads cover c < d//8 (always in-bounds); the static remainder
+    # in _wta_reduce_block handles d % 8 trailing planes
+    load8 = lambda c: aggr_ref[0, :, pl.ds(c * 8, 8), :].astype(jnp.int32)
     outs = _wta_reduce_block(a, rows=rows, d=d, w=w, dmin=dmin,
                              include_inverse=include_inverse, load8=load8)
     for ref, val in zip(out_refs, outs):

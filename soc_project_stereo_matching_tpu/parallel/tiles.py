@@ -53,7 +53,9 @@ def _perm_up(k: int):
 
 def halo_exchange_rows(x: jnp.ndarray, n: int, axis_name: str, k: int) -> jnp.ndarray:
     """Pad a (..., Ht, W) tile with n boundary rows from each neighbour.
-    Mesh-edge tiles receive zeros (ppermute semantics)."""
+    Mesh-edge tiles receive zeros (ppermute semantics).  NB: every helper
+    here must guard collectives behind ``k > 1`` — on a 1-device mesh
+    make_tiled_matcher bypasses shard_map, so no axis name is bound."""
     if n == 0 or k == 1:
         pad = [(0, 0)] * (x.ndim - 2) + [(n, n), (0, 0)]
         return jnp.pad(x, pad)
@@ -125,7 +127,9 @@ def _pipelined_scan(cost: jnp.ndarray, img: jnp.ndarray, options: SGMOptions,
             f"per-device batch {bl} not divisible by num_micro={num_micro}: "
             "trailing images would silently receive no vertical aggregation")
     mb = bl // num_micro
-    my = jax.lax.axis_index(axis_name)
+    # k == 1: no mesh axis may be bound (the 1-device shard_map bypass);
+    # the lone tile sits at position 0 and every carry hop yields zeros
+    my = jax.lax.axis_index(axis_name) if k > 1 else 0
     pos = (k - 1 - my) if reverse else my
     perm = _perm_up(k) if reverse else _perm_down(k)
 
@@ -153,7 +157,8 @@ def _pipelined_scan(cost: jnp.ndarray, img: jnp.ndarray, options: SGMOptions,
         out = jax.lax.dynamic_update_slice_in_dim(
             out, jnp.where(active, contrib, cur), mc, axis=0)
         carry = ScanCarry(
-            *(jax.lax.ppermute(c, axis_name, perm) for c in carry_out))
+            *((jax.lax.ppermute(c, axis_name, perm) if k > 1
+               else jnp.zeros_like(c)) for c in carry_out))
     return out
 
 

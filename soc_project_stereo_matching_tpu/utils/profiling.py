@@ -38,34 +38,65 @@ def chained_time(step: Callable, x0, iters: int = 10) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def chained_match_time(match_fn: Callable, left, right, iters: int = 3):
+# One jitted chain per match_fn (bound methods of the same engine compare
+# equal, so each engine compiles its chain exactly once per input shape).
+_match_chains: Dict = {}
+
+
+def chained_match_time(match_fn: Callable, left, right, iters: int = 8,
+                       return_compile: bool = False):
     """Honest per-call timing of a stereo match ``(l, r) -> disp``.
 
     Returns ``(seconds_per_call, disp)`` where ``disp`` is the true result
-    for the *unperturbed* inputs (from the warm-up call).  Timing iterations
-    derive the next left image from the previous disparity (low-bit XOR) so
-    no call can be elided or overlapped by a lazily-dispatching runtime —
-    the same methodology as bench.py, replacing the single-shot
+    for the *unperturbed* inputs.  The measured calls form a dependency
+    chain (the next left image derives from the previous disparity via a
+    low-bit XOR) so a lazily-dispatching runtime cannot elide or overlap
+    them — the bench.py methodology, replacing the single-shot
     ``block_until_ready`` pattern that measures fantasy numbers under the
-    tunnelled TPU relay (CLAUDE.md)."""
+    tunnelled TPU relay (CLAUDE.md).
+
+    The whole chain runs inside ONE jitted ``fori_loop`` with a *runtime*
+    trip count (one compile per shape), and the per-call time is the
+    difference between an ``iters``-long and a 1-long chain divided by
+    ``iters - 1`` — the per-dispatch relay round trip cancels exactly, so
+    single-frame latencies are not swamped by tunnel RTT."""
     import numpy as np
 
-    @jax.jit
-    def step(l, r):
-        out = match_fn(l, r)
-        return l ^ jnp.isfinite(out).astype(jnp.uint8), out
+    iters = max(iters, 2)                  # the RTT-cancelling difference
+    chain = _match_chains.get(match_fn)
+    if chain is None:
+        @jax.jit
+        def chain(l, r, n):
+            def body(_, carry):
+                li, _out = carry
+                out = match_fn(li, r)
+                return li ^ jnp.isfinite(out).astype(jnp.uint8), out
+            first = body(0, (l, jnp.zeros(l.shape, jnp.float32)))
+            return jax.lax.fori_loop(0, n - 1, body, first)
+
+        _match_chains[match_fn] = chain
 
     left = jnp.asarray(left, jnp.uint8)
     right = jnp.asarray(right, jnp.uint8)
-    _, out0 = step(left, right)            # warm-up / compile
-    disp = np.asarray(out0)                # fetch forces execution
 
     t0 = time.perf_counter()
-    l = left
-    for _ in range(iters):
-        l, out = step(l, right)
-    jax.device_get(jnp.ravel(out)[0])      # forces the whole chain
-    return (time.perf_counter() - t0) / iters, disp
+    _, out0 = chain(left, right, 1)        # warm-up / compile
+    disp = np.asarray(out0)                # fetch forces execution
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    _, out = chain(left, right, 1)
+    jax.device_get(jnp.ravel(out)[0])
+    t1 = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    _, out = chain(left, right, iters)
+    jax.device_get(jnp.ravel(out)[0])
+    tn = time.perf_counter() - t0
+    per_call = max(tn - t1, 1e-9) / (iters - 1)
+    if return_compile:
+        return per_call, disp, compile_s
+    return per_call, disp
 
 
 class StageTimer:

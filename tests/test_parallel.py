@@ -161,6 +161,32 @@ def test_pallas_tiled_matches_single_device(cross_tile):
             & (both_inf | (single == got))).all()
 
 
+@pytest.mark.parametrize("cross_tile", ["exact", "pipelined", "local"])
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_one_device_mesh_bypasses_shard_map(cross_tile, use_pallas):
+    """All modes must run on a trivial (1,1) mesh, where make_tiled_matcher
+    skips shard_map and no collective axis is bound (regression: the jnp
+    pipelined path called axis_index unconditionally)."""
+    from soc_project_stereo_matching_tpu import SGMOptions
+    from soc_project_stereo_matching_tpu.models.sgm import SGMEngine
+    from soc_project_stereo_matching_tpu.parallel.mesh import make_mesh
+
+    opts = SGMOptions(max_disparity=16, min_speckle_area=8)
+    rng = np.random.default_rng(6)
+    lefts = rng.integers(0, 256, (2, 16, 64), dtype=np.uint8)
+    rights = rng.integers(0, 256, (2, 16, 64), dtype=np.uint8)
+
+    mesh = make_mesh(data=1, tile=1)
+    matcher = make_tiled_matcher(opts, mesh, 16, 64, cross_tile=cross_tile,
+                                 num_micro=2, use_pallas=use_pallas)
+    got = np.asarray(matcher(lefts, rights))
+
+    single = np.asarray(SGMEngine(opts).match_batch(lefts, rights))
+    both_inf = np.isinf(single) & np.isinf(got)
+    assert ((np.isinf(single) == np.isinf(got))
+            & (both_inf | (single == got))).all()
+
+
 def test_pipelined_cross_tile_matches_single_device():
     import numpy as np
     from soc_project_stereo_matching_tpu import SGMOptions
