@@ -43,7 +43,7 @@ class HarnessConfig:
     resume: bool = False                # skip pairs already in stats_path
     max_disparity: Optional[int] = None  # override per-pair dmax
     use_pair_disparity_range: bool = True
-    timing_iters: int = 8               # chained timing iterations (>= 2)
+    timing_iters: int = 32              # chained timing iterations (>= 2)
 
 
 class EvaluationHarness:

@@ -43,8 +43,8 @@ def chained_time(step: Callable, x0, iters: int = 10) -> float:
 _match_chains: Dict = {}
 
 
-def chained_match_time(match_fn: Callable, left, right, iters: int = 8,
-                       return_compile: bool = False):
+def chained_match_time(match_fn: Callable, left, right, iters: int = 32,
+                       return_compile: bool = False, repeats: int = 3):
     """Honest per-call timing of a stereo match ``(l, r) -> disp``.
 
     Returns ``(seconds_per_call, disp)`` where ``disp`` is the true result
@@ -58,8 +58,11 @@ def chained_match_time(match_fn: Callable, left, right, iters: int = 8,
     The whole chain runs inside ONE jitted ``fori_loop`` with a *runtime*
     trip count (one compile per shape), and the per-call time is the
     difference between an ``iters``-long and a 1-long chain divided by
-    ``iters - 1`` — the per-dispatch relay round trip cancels exactly, so
-    single-frame latencies are not swamped by tunnel RTT."""
+    ``iters - 1`` — the per-dispatch relay round trip cancels, so
+    single-frame latencies are not swamped by tunnel RTT.  Both ends of
+    the difference take the min over ``repeats`` runs: the RTT has
+    hundreds of ms of variance, which would otherwise drown small-frame
+    compute deltas (observed: negative differences on the cone pair)."""
     import numpy as np
 
     iters = max(iters, 2)                  # the RTT-cancelling difference
@@ -84,15 +87,17 @@ def chained_match_time(match_fn: Callable, left, right, iters: int = 8,
     disp = np.asarray(out0)                # fetch forces execution
     compile_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    _, out = chain(left, right, 1)
-    jax.device_get(jnp.ravel(out)[0])
-    t1 = time.perf_counter() - t0
+    def timed(n):
+        best = float("inf")
+        for _ in range(max(repeats, 1)):
+            t0 = time.perf_counter()
+            _, out = chain(left, right, n)
+            jax.device_get(jnp.ravel(out)[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    t0 = time.perf_counter()
-    _, out = chain(left, right, iters)
-    jax.device_get(jnp.ravel(out)[0])
-    tn = time.perf_counter() - t0
+    t1 = timed(1)
+    tn = timed(iters)
     per_call = max(tn - t1, 1e-9) / (iters - 1)
     if return_compile:
         return per_call, disp, compile_s
