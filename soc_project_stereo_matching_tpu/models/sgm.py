@@ -49,9 +49,9 @@ def sgm_forward(
             include_inverse=options.is_check_lr)
         disp = finalize_disparity(fwd, options)
         if options.is_check_lr:
-            disp = lr_check(disp, finalize_disparity(inv, options),
-                            options.lrcheck_thres,
-                            max_shift=max(options.max_disparity, 1))
+            disp = pk.lr_check_pallas(disp, finalize_disparity(inv, options),
+                                      options.lrcheck_thres,
+                                      max_shift=max(options.max_disparity, 1))
     else:
         cl = census_5x5(img_left)
         cr = census_5x5(img_right)

@@ -1057,6 +1057,73 @@ def census_cost_volume_pallas(
     return cost[0] if unbatched else cost
 
 
+def _lr_check_kernel(dl_ref, dr_ref, out_ref, *, rows: int, w: int,
+                     thres: float, max_shift: int):
+    """LR consistency for one (batch, row-chunk) block, entirely in VMEM.
+
+    Same math as ops/postprocess.lr_check (reference LRCheck,
+    SemiGlobalMatching.c:445-470): the right-map sample at
+    ``j - trunc(disp + 0.5)`` comes from a (max_shift+2)-way select over
+    lane-rolled copies — but here the rolls happen on the VMEM-resident
+    block, so HBM sees each plane exactly once."""
+    disp_l = dl_ref[0]
+    disp_r = dr_ref[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
+    cols = lane.astype(jnp.float32)
+
+    valid = disp_l < jnp.float32(1e30)     # isfinite for +inf-invalid maps
+    dl = jnp.where(valid, disp_l, 0.0)
+    col_right = jnp.trunc(cols - dl + jnp.float32(0.5)).astype(jnp.int32)
+    in_range = (col_right >= 0) & (col_right < w)
+
+    shift = lane - col_right
+    dr_sel = jnp.zeros((rows, w), jnp.float32)
+    for k in range(-1, min(max_shift, w - 1) + 2):
+        dr_sel = jnp.where(shift == k, _roll(disp_r, k, axis=1), dr_sel)
+
+    r_finite = dr_sel < jnp.float32(1e30)
+    dr_v = jnp.where(r_finite, dr_sel, 0.0)
+    mismatch = jnp.abs(dl - dr_v) > jnp.float32(thres)
+    kill = valid & (~in_range | (r_finite & mismatch))
+    out_ref[0] = jnp.where(kill, jnp.float32(jnp.inf), disp_l)
+
+
+@functools.partial(jax.jit, static_argnames=("thres", "max_shift",
+                                             "block_rows"))
+def lr_check_pallas(disp_left: jnp.ndarray, disp_right: jnp.ndarray,
+                    thres: float, max_shift: int,
+                    block_rows: int = 128) -> jnp.ndarray:
+    """Pallas LR check, bit-equal to ``postprocess.lr_check``.
+
+    disp maps: (..., H, W) float32 with +inf invalid."""
+    if max_shift <= 0:
+        raise ValueError("max_shift must be positive (the disparity bound)")
+    unbatched = disp_left.ndim == 2
+    if unbatched:
+        disp_left, disp_right = disp_left[None], disp_right[None]
+    batch = disp_left.shape[:-2]
+    h, w = disp_left.shape[-2:]
+    dl = disp_left.reshape((-1, h, w))
+    dr = disp_right.reshape((-1, h, w))
+    b = dl.shape[0]
+    block_rows = min(block_rows, _round_up(h, 8))
+    hp = _round_up(h, block_rows)
+    pad = ((0, 0), (0, hp - h), (0, 0))
+    spec = pl.BlockSpec((1, block_rows, w), lambda bi, ci: (bi, ci, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_lr_check_kernel, rows=block_rows, w=w,
+                          thres=float(thres), max_shift=max_shift),
+        grid=(b, hp // block_rows),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, hp, w), jnp.float32),
+        interpret=_interpret(),
+    )(jnp.pad(dl, pad), jnp.pad(dr, pad))
+    out = out[:, :h].reshape(batch + (h, w))
+    return out[0] if unbatched else out
+
+
 # Ops not yet kernelised fall back to their jnp implementations (XLA fuses
 # the elementwise stages well; the scan above is where Pallas pays).
 from .census import census_5x5  # noqa: F401, E402

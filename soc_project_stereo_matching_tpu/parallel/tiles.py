@@ -239,9 +239,9 @@ def _post_aggregation(aggr: jnp.ndarray, options: SGMOptions,
         fwd, inv = pk.wta_reduce_pallas(aggr, options, options.is_check_lr)
         disp = finalize_disparity(fwd, options)
         if options.is_check_lr:
-            disp = lr_check(disp, finalize_disparity(inv, options),
-                            options.lrcheck_thres,
-                            max_shift=max(options.max_disparity, 1))
+            disp = pk.lr_check_pallas(disp, finalize_disparity(inv, options),
+                                      options.lrcheck_thres,
+                                      max_shift=max(options.max_disparity, 1))
     else:
         disp = compute_disparity(aggr, options, inverse=False)
         if options.is_check_lr:

@@ -126,6 +126,21 @@ def test_speckle_kernel_parity():
     assert ((np.isinf(want) == np.isinf(got)) & (both_inf | (want == got))).all()
 
 
+def test_lr_check_kernel_parity():
+    rng = np.random.default_rng(17)
+    h, w = 45, 83
+    dl = rng.uniform(0, 16, (2, h, w)).astype(np.float32)
+    dr = rng.uniform(0, 16, (2, h, w)).astype(np.float32)
+    dl[rng.random((2, h, w)) < 0.2] = np.inf
+    dr[rng.random((2, h, w)) < 0.2] = np.inf
+    want = np.asarray(postprocess.lr_check(jnp.asarray(dl), jnp.asarray(dr),
+                                           1.0, max_shift=16))
+    got = np.asarray(pk.lr_check_pallas(jnp.asarray(dl), jnp.asarray(dr),
+                                        1.0, max_shift=16, block_rows=16))
+    both_inf = np.isinf(want) & np.isinf(got)
+    assert ((np.isinf(want) == np.isinf(got)) & (both_inf | (want == got))).all()
+
+
 def test_speckle_strip_decomposition_exact():
     """Frames above the VMEM pixel budget split into min_area-halo row
     strips — exact, because small components fit within Chebyshev radius
