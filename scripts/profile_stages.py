@@ -99,6 +99,10 @@ def main():
         timeit_chain(
             "speckle removal",
             lambda d: jnp.where(jnp.isfinite(spk(d)), disp0, disp0 + 1), disp0)
+
+        lrp = jax.jit(lambda a, b: pk.lr_check_pallas(
+            a, b, OPT.lrcheck_thres, max_shift=OPT.max_disparity))
+        timeit_chain("LR check (pallas)", lambda d: lrp(d, disp0), disp0)
     else:
         census = jax.jit(jax.vmap(census_5x5))
         timeit_chain("census",
