@@ -43,7 +43,11 @@ class HarnessConfig:
     resume: bool = False                # skip pairs already in stats_path
     max_disparity: Optional[int] = None  # override per-pair dmax
     use_pair_disparity_range: bool = True
-    timing_iters: int = 32              # chained timing iterations (>= 2)
+    # Chained-timing effort per pair (see utils/profiling.chained_match_time:
+    # iters*repeats matches are run; the TPU relay's RTT variance needs the
+    # defaults, CPU tests pass (2, 1) for speed)
+    timing_iters: int = 32
+    timing_repeats: int = 3
 
 
 class EvaluationHarness:
@@ -77,8 +81,12 @@ class EvaluationHarness:
 
         duration, disp = chained_match_time(
             engine.match, pair.img_left, pair.img_right,
-            iters=self.config.timing_iters)
+            iters=self.config.timing_iters,
+            repeats=self.config.timing_repeats)
+        return self._metrics_for(pair, disp, duration)
 
+    def _metrics_for(self, pair: StereoPair, disp: np.ndarray,
+                     duration: float) -> dict:
         valid = np.isfinite(disp)
         depth = np.where(
             valid, M.disparity_to_depth(disp, pair.calib, 0), np.nan
@@ -114,6 +122,43 @@ class EvaluationHarness:
             "disp_density": disp_metrics["density"],
             "valid_frac": float(valid.mean()),
         }
+
+    # -- batched run --------------------------------------------------------
+    def run_batched(self, folders: Sequence[PathLike],
+                    client_id: str = "tpu-engine") -> dict:
+        """Batched evaluation: same-shape pairs stream through
+        ``match_batch`` in ``batch_size`` groups with background prefetch
+        (the KITTI-2015 batched-eval configuration, BASELINE.json) —
+        per-pair metrics, per-batch wall-clock split evenly across the
+        batch (like the reference, round-trip time included).
+
+        Pairs must share SGM options (per-pair disparity ranges would
+        retrace per group; set ``max_disparity`` for mixed datasets)."""
+        import time as _time
+
+        from ..data.pipeline import batched_pair_stream
+
+        measurements: List[dict] = []
+        seq = 0
+        warmed = set()
+        for lefts, rights, pairs in batched_pair_stream(
+                folders, self.config.batch_size):
+            engine = self._engine_for(pairs[0])
+            key = (id(engine), lefts.shape)
+            if key not in warmed:       # compile excluded, as in the
+                warmed.add(key)         # reference (board boot excluded)
+                np.asarray(engine.match_batch(lefts, rights))
+            t0 = _time.perf_counter()
+            disps = np.asarray(engine.match_batch(lefts, rights))
+            dt = (_time.perf_counter() - t0) / len(pairs)
+            for pair, disp in zip(pairs, disps):
+                m = self._metrics_for(pair, disp, dt)
+                m["seq"] = seq
+                seq += 1
+                measurements.append(m)
+            if self.config.stats_path:
+                self._write_stats(client_id, measurements)
+        return self._write_stats(client_id, measurements)
 
     # -- full run -----------------------------------------------------------
     def run(self, folders: Sequence[PathLike], client_id: str = "tpu-engine") -> dict:
@@ -170,6 +215,10 @@ def main(argv=None):
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--max-disparity", type=int, default=None)
     ap.add_argument("--num-paths", type=int, default=8, choices=(4, 8))
+    ap.add_argument("--batched", action="store_true",
+                    help="stream same-shape pairs through match_batch in "
+                         "batch-size groups (KITTI-2015 batched eval)")
+    ap.add_argument("--batch-size", type=int, default=8)
     args = ap.parse_args(argv)
 
     if args.data is not None and (Path(args.data) / "image_2").is_dir():
@@ -188,9 +237,11 @@ def main(argv=None):
     harness = EvaluationHarness(
         SGMOptions(num_paths=args.num_paths),
         HarnessConfig(stats_path=args.stats, resume=args.resume,
-                      max_disparity=args.max_disparity),
+                      max_disparity=args.max_disparity,
+                      batch_size=args.batch_size),
     )
-    stats = harness.run(folders)
+    stats = harness.run_batched(folders) if args.batched \
+        else harness.run(folders)
     for m in stats["measurements"]:
         print(f"{m['name']:12s} rmse={m['rmse_mm']:.2f}mm bpr={m['bpr']:.4f} "
               f"bad3={m.get('disp_bad3', float('nan')):.4f} "

@@ -188,6 +188,31 @@ def test_load_legacy_pair(reference_dir):
     assert fin.mean() > 0.9 and gt[fin].max() < 64
 
 
+def test_harness_batched_matches_per_pair(reference_dir, tmp_path):
+    """run_batched (same-shape pairs through match_batch with prefetch)
+    produces the same per-pair metrics as the per-pair run."""
+    from soc_project_stereo_matching_tpu import SGMOptions
+    from soc_project_stereo_matching_tpu.eval.harness import (
+        EvaluationHarness, HarnessConfig)
+
+    cone = reference_dir / "SemiGlobalMatching" / "Data" / "cone"
+    folders = [cone, cone, cone]
+    opts = SGMOptions(is_remove_speckles=False)
+    cfg = HarnessConfig(max_disparity=64, batch_size=2,
+                        stats_path=tmp_path / "b.json",
+                        timing_iters=2, timing_repeats=1)
+    stats_b = EvaluationHarness(opts, cfg).run_batched(folders)
+    assert stats_b["total_frames"] == 3
+    single = EvaluationHarness(opts, HarnessConfig(
+        max_disparity=64, timing_iters=2, timing_repeats=1)).run(
+        [cone])["measurements"][0]
+    for m in stats_b["measurements"]:
+        assert m["rmse_mm"] == single["rmse_mm"]
+        assert m["bpr"] == single["bpr"]
+        assert m["disp_bad3"] == single["disp_bad3"]
+        assert m["duration_s"] > 0
+
+
 def test_harness_end_to_end_and_resume(reference_dir, tmp_path):
     from soc_project_stereo_matching_tpu.eval.harness import (
         EvaluationHarness, HarnessConfig)
@@ -196,7 +221,8 @@ def test_harness_end_to_end_and_resume(reference_dir, tmp_path):
     stats_path = tmp_path / "stats.json"
     h = EvaluationHarness(
         SGMOptions(is_remove_speckles=False),
-        HarnessConfig(stats_path=stats_path, max_disparity=64),
+        HarnessConfig(stats_path=stats_path, max_disparity=64,
+                      timing_iters=2, timing_repeats=1),
     )
     folders = [reference_dir / "SemiGlobalMatching" / "Data" / "cone"]
     stats = h.run(folders)
@@ -208,7 +234,8 @@ def test_harness_end_to_end_and_resume(reference_dir, tmp_path):
     # resume: second run must reuse the stored measurement (no recompute)
     h2 = EvaluationHarness(
         SGMOptions(is_remove_speckles=False),
-        HarnessConfig(stats_path=stats_path, resume=True, max_disparity=64),
+        HarnessConfig(stats_path=stats_path, resume=True, max_disparity=64,
+                      timing_iters=2, timing_repeats=1),
     )
     stats2 = h2.run(folders)
     assert stats2["measurements"][0]["rmse_mm"] == m["rmse_mm"]
