@@ -77,7 +77,7 @@ def run_config(name, w, h, d, batch, iters=4, tiled=False):
         match = engine._batched
 
     dt_call, out0, compile_s = chained_match_time(
-        match, lefts, rights, iters=max(iters, 2), return_compile=True)
+        match, lefts, rights, iters=iters, return_compile=True)
     dt = dt_call / batch
     valid = float(np.isfinite(out0[0]).mean())
     res = {"config": name, "width": w, "height": h, "max_disparity": d,

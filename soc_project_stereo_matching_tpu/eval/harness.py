@@ -132,17 +132,37 @@ class EvaluationHarness:
         per-pair metrics, per-batch wall-clock split evenly across the
         batch (like the reference, round-trip time included).
 
-        Pairs must share SGM options (per-pair disparity ranges would
-        retrace per group; set ``max_disparity`` for mixed datasets)."""
+        Pairs within a batch must share the per-pair disparity range (the
+        engine is built from the first pair's; a silent mismatch would
+        score the others with a truncated range) — set ``max_disparity``
+        for mixed datasets.  ``resume`` skips pairs already present in the
+        stats file, exactly like ``run``."""
         import time as _time
 
         from ..data.pipeline import batched_pair_stream
 
-        measurements: List[dict] = []
-        seq = 0
+        done = {}
+        if self.config.resume and self.config.stats_path \
+                and Path(self.config.stats_path).exists():
+            prev = json.loads(Path(self.config.stats_path).read_text())
+            done = {m["name"]: m for m in prev.get("measurements", [])}
+        todo = [f for f in folders
+                if getattr(f, "name", None) not in done]
+        measurements: List[dict] = [
+            dict(done[f.name]) for f in folders
+            if getattr(f, "name", None) in done]
+
+        seq = len(measurements)
         warmed = set()
         for lefts, rights, pairs in batched_pair_stream(
-                folders, self.config.batch_size):
+                todo, self.config.batch_size):
+            if self.config.max_disparity is None \
+                    and self.config.use_pair_disparity_range:
+                ranges = {(p.dmin, p.dmax) for p in pairs}
+                if len(ranges) > 1:
+                    raise ValueError(
+                        f"mixed disparity ranges in one batch {ranges}: "
+                        "pass max_disparity or group datasets by range")
             engine = self._engine_for(pairs[0])
             key = (id(engine), lefts.shape)
             if key not in warmed:       # compile excluded, as in the

@@ -1098,6 +1098,13 @@ def lr_check_pallas(disp_left: jnp.ndarray, disp_right: jnp.ndarray,
     disp maps: (..., H, W) float32 with +inf invalid."""
     if max_shift <= 0:
         raise ValueError("max_shift must be positive (the disparity bound)")
+    if max_shift > 128 and not _interpret():
+        # the kernel statically unrolls max_shift+3 roll/selects — the same
+        # O(d) Mosaic program-size risk the WTA shear gates at 128; large
+        # ranges take the known-good XLA path
+        from .postprocess import lr_check as _jnp_lr
+
+        return _jnp_lr(disp_left, disp_right, thres, max_shift)
     unbatched = disp_left.ndim == 2
     if unbatched:
         disp_left, disp_right = disp_left[None], disp_right[None]

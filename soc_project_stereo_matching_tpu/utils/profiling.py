@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import contextlib
 import time
+import weakref
 from collections import defaultdict
 from typing import Callable, Dict
 
@@ -38,9 +39,25 @@ def chained_time(step: Callable, x0, iters: int = 10) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-# One jitted chain per match_fn (bound methods of the same engine compare
-# equal, so each engine compiles its chain exactly once per input shape).
-_match_chains: Dict = {}
+# One jitted chain per match_fn, held weakly via the owning object (the
+# engine for bound methods, the callable itself otherwise) so timed engines
+# and their compiled chains are released with their owners instead of being
+# pinned for process lifetime.  NB: the chain is traced against the
+# match_fn as passed — don't mutate an engine's config between timings.
+_match_chains = weakref.WeakKeyDictionary()
+
+
+def _chain_for(match_fn: Callable):
+    owner = getattr(match_fn, "__self__", match_fn)
+    key = getattr(match_fn, "__func__", match_fn)
+    try:
+        per_owner = _match_chains.get(owner)
+        if per_owner is None:
+            per_owner = {}
+            _match_chains[owner] = per_owner
+    except TypeError:          # owner not weakref-able: don't cache
+        return None, None, None
+    return per_owner.get(key), per_owner, key
 
 
 def chained_match_time(match_fn: Callable, left, right, iters: int = 32,
@@ -66,7 +83,7 @@ def chained_match_time(match_fn: Callable, left, right, iters: int = 32,
     import numpy as np
 
     iters = max(iters, 2)                  # the RTT-cancelling difference
-    chain = _match_chains.get(match_fn)
+    chain, per_owner, key = _chain_for(match_fn)
     if chain is None:
         @jax.jit
         def chain(l, r, n):
@@ -77,7 +94,8 @@ def chained_match_time(match_fn: Callable, left, right, iters: int = 32,
             first = body(0, (l, jnp.zeros(l.shape, jnp.float32)))
             return jax.lax.fori_loop(0, n - 1, body, first)
 
-        _match_chains[match_fn] = chain
+        if per_owner is not None:
+            per_owner[key] = chain
 
     left = jnp.asarray(left, jnp.uint8)
     right = jnp.asarray(right, jnp.uint8)
@@ -98,7 +116,13 @@ def chained_match_time(match_fn: Callable, left, right, iters: int = 32,
 
     t1 = timed(1)
     tn = timed(iters)
-    per_call = max(tn - t1, 1e-9) / (iters - 1)
+    if tn > t1:
+        per_call = (tn - t1) / (iters - 1)
+    else:
+        # RTT noise swallowed the compute delta: fall back to the plain
+        # amortised time (an OVERestimate — includes RTT/iters — which is
+        # the honest failure direction; never report absurdly small times)
+        per_call = tn / iters
     if return_compile:
         return per_call, disp, compile_s
     return per_call, disp
