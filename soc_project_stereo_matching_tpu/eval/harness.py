@@ -44,10 +44,22 @@ class HarnessConfig:
     max_disparity: Optional[int] = None  # override per-pair dmax
     use_pair_disparity_range: bool = True
     # Chained-timing effort per pair (see utils/profiling.chained_match_time:
-    # iters*repeats matches are run; the TPU relay's RTT variance needs the
-    # defaults, CPU tests pass (2, 1) for speed)
-    timing_iters: int = 32
-    timing_repeats: int = 3
+    # iters*repeats matches are run).  None = backend-aware default: the TPU
+    # relay's RTT variance needs (32, 3); other backends (CPU directory
+    # evals, tests) get the cheap (2, 1) — ~100 matches per pair would make
+    # them two orders of magnitude slower for no benefit.
+    timing_iters: Optional[int] = None
+    timing_repeats: Optional[int] = None
+
+    def resolved_timing(self) -> tuple:
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+        iters = self.timing_iters if self.timing_iters is not None \
+            else (32 if on_tpu else 2)
+        repeats = self.timing_repeats if self.timing_repeats is not None \
+            else (3 if on_tpu else 1)
+        return iters, repeats
 
 
 class EvaluationHarness:
@@ -79,10 +91,10 @@ class EvaluationHarness:
         # dispatching TPU runtime cannot fake the number.
         from ..utils.profiling import chained_match_time
 
+        iters, repeats = self.config.resolved_timing()
         duration, disp = chained_match_time(
             engine.match, pair.img_left, pair.img_right,
-            iters=self.config.timing_iters,
-            repeats=self.config.timing_repeats)
+            iters=iters, repeats=repeats)
         return self._metrics_for(pair, disp, duration)
 
     def _metrics_for(self, pair: StereoPair, disp: np.ndarray,
@@ -136,10 +148,16 @@ class EvaluationHarness:
         engine is built from the first pair's; a silent mismatch would
         score the others with a truncated range) — set ``max_disparity``
         for mixed datasets.  ``resume`` skips pairs already present in the
-        stats file, exactly like ``run``."""
-        import time as _time
+        stats file, exactly like ``run``.
 
+        Timing: each batch is timed with the RTT-cancelling chained
+        methodology (``chained_match_time`` on ``match_batch``) — a single
+        ``perf_counter`` around one dispatch would embed one ~300 ms relay
+        round trip per batch (~40 ms/frame of pure tunnel at batch 8 on a
+        3 ms frame).  Batched runs use a reduced iteration count (the batch
+        itself already amortises noise)."""
         from ..data.pipeline import batched_pair_stream
+        from ..utils.profiling import chained_match_time
 
         done = {}
         if self.config.resume and self.config.stats_path \
@@ -152,8 +170,8 @@ class EvaluationHarness:
             dict(done[f.name]) for f in folders
             if getattr(f, "name", None) in done]
 
-        seq = len(measurements)
-        warmed = set()
+        iters, repeats = self.config.resolved_timing()
+        iters = max(2, iters // 4)      # the batch already amortises noise
         for lefts, rights, pairs in batched_pair_stream(
                 todo, self.config.batch_size):
             if self.config.max_disparity is None \
@@ -164,20 +182,24 @@ class EvaluationHarness:
                         f"mixed disparity ranges in one batch {ranges}: "
                         "pass max_disparity or group datasets by range")
             engine = self._engine_for(pairs[0])
-            key = (id(engine), lefts.shape)
-            if key not in warmed:       # compile excluded, as in the
-                warmed.add(key)         # reference (board boot excluded)
-                np.asarray(engine.match_batch(lefts, rights))
-            t0 = _time.perf_counter()
-            disps = np.asarray(engine.match_batch(lefts, rights))
-            dt = (_time.perf_counter() - t0) / len(pairs)
+            # chained_match_time warms up (compile excluded, as in the
+            # reference — board boot excluded) and returns the unperturbed
+            # batch result plus the RTT-cancelled seconds per batch step
+            dt_batch, disps = chained_match_time(
+                engine.match_batch, lefts, rights,
+                iters=iters, repeats=repeats)
+            dt = dt_batch / len(pairs)
             for pair, disp in zip(pairs, disps):
-                m = self._metrics_for(pair, disp, dt)
-                m["seq"] = seq
-                seq += 1
-                measurements.append(m)
+                measurements.append(self._metrics_for(pair, disp, dt))
+            # resumed + fresh measurements can interleave: renumber seq over
+            # the final order so ids stay unique and contiguous (run() does
+            # the same via its enumerate)
+            for i, m in enumerate(measurements):
+                m["seq"] = i
             if self.config.stats_path:
                 self._write_stats(client_id, measurements)
+        for i, m in enumerate(measurements):
+            m["seq"] = i
         return self._write_stats(client_id, measurements)
 
     # -- full run -----------------------------------------------------------
@@ -239,6 +261,13 @@ def main(argv=None):
                     help="stream same-shape pairs through match_batch in "
                          "batch-size groups (KITTI-2015 batched eval)")
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--timing-iters", type=int, default=None,
+                    help="chained-timing chain length per pair (default: "
+                         "32 on TPU, 2 elsewhere — the TPU relay's RTT "
+                         "variance needs the long chain, CPU runs don't)")
+    ap.add_argument("--timing-repeats", type=int, default=None,
+                    help="min-of-N repeats per chain length (default: 3 on "
+                         "TPU, 1 elsewhere)")
     args = ap.parse_args(argv)
 
     if args.data is not None and (Path(args.data) / "image_2").is_dir():
@@ -258,7 +287,9 @@ def main(argv=None):
         SGMOptions(num_paths=args.num_paths),
         HarnessConfig(stats_path=args.stats, resume=args.resume,
                       max_disparity=args.max_disparity,
-                      batch_size=args.batch_size),
+                      batch_size=args.batch_size,
+                      timing_iters=args.timing_iters,
+                      timing_repeats=args.timing_repeats),
     )
     stats = harness.run_batched(folders) if args.batched \
         else harness.run(folders)

@@ -42,9 +42,29 @@ def chained_time(step: Callable, x0, iters: int = 10) -> float:
 # One jitted chain per match_fn, held weakly via the owning object (the
 # engine for bound methods, the callable itself otherwise) so timed engines
 # and their compiled chains are released with their owners instead of being
-# pinned for process lifetime.  NB: the chain is traced against the
+# pinned for process lifetime.  The chain closure must NOT capture the bound
+# method itself: the cached value would then strongly reference its own
+# WeakKeyDictionary key (value -> bound method -> __self__ == key), pinning
+# every timed engine forever — so ``_rebind`` captures the unbound function
+# plus a weakref to the owner instead.  NB: the chain is traced against the
 # match_fn as passed — don't mutate an engine's config between timings.
 _match_chains = weakref.WeakKeyDictionary()
+
+
+def _rebind(match_fn: Callable) -> Callable:
+    """match_fn without a strong reference to its __self__ (if bound)."""
+    owner = getattr(match_fn, "__self__", None)
+    if owner is None:
+        return match_fn
+    func = match_fn.__func__
+    owner_ref = weakref.ref(owner)
+
+    def call(l, r):
+        obj = owner_ref()                 # deref at trace time: owner is
+        assert obj is not None            # alive while being timed
+        return func(obj, l, r)
+
+    return call
 
 
 def _chain_for(match_fn: Callable):
@@ -85,11 +105,13 @@ def chained_match_time(match_fn: Callable, left, right, iters: int = 32,
     iters = max(iters, 2)                  # the RTT-cancelling difference
     chain, per_owner, key = _chain_for(match_fn)
     if chain is None:
+        call = _rebind(match_fn)
+
         @jax.jit
         def chain(l, r, n):
             def body(_, carry):
                 li, _out = carry
-                out = match_fn(li, r)
+                out = call(li, r)
                 return li ^ jnp.isfinite(out).astype(jnp.uint8), out
             first = body(0, (l, jnp.zeros(l.shape, jnp.float32)))
             return jax.lax.fori_loop(0, n - 1, body, first)
