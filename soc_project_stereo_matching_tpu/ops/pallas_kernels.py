@@ -88,7 +88,7 @@ def _scan_group_kernel(
     cost_ref, p2_ref, acc_ref, cin_cost_ref, cin_min_ref,
     out_ref, cout_cost_ref, cout_min_ref, wta_refs, carry_cost, carry_min,
     *, rows: int, d: int, w: int, rolls: Sequence[int], reverse: bool,
-    p1: int, restart: bool, wta=None,
+    p1: int, restart: bool, wta=None, p2_nsp: bool = False,
 ):
     """One (batch, row-chunk) grid step of a fused multi-direction DP scan.
 
@@ -129,7 +129,16 @@ def _scan_group_kernel(
             if roll:
                 prev = _roll(prev, roll, axis=1)
                 pmin = _roll(pmin, roll, axis=1)
-            p2_row = p2_ref[0, pl.ds(row, 1), k].astype(jnp.int32)   # (1, W)
+            # (1, W) adaptive-P2 row.  Layouts: carry-aware scans chunk S
+            # outside the tiled (n, P) dims so any divisor chunk is legal
+            # ("snp"); plain scans keep the direction plane as a contiguous
+            # (S, P) tile ("nsp") — the strided (n, P)-tile read cost the
+            # aggregation kernel ~13% when it briefly became the only layout
+            # (BENCH_r01 1.473 -> r02 1.665 ms/frame).
+            if p2_nsp:
+                p2_row = p2_ref[0, k, pl.ds(row, 1)].astype(jnp.int32)
+            else:
+                p2_row = p2_ref[0, pl.ds(row, 1), k].astype(jnp.int32)
             up = jnp.where(d_iota == 0, SENTINEL,
                            _roll(prev, 1, axis=0))          # L(p-r, d-1)
             dn = jnp.where(d_iota == d - 1, SENTINEL,
@@ -198,10 +207,22 @@ def _directional_scan_group(
     assert s % block_rows == 0, (s, block_rows)
     grid = (b, s // block_rows)
 
+    # P2 layout (callers always hand (B, S, n, P)):
+    #  * carry-aware scans must chunk S with arbitrary divisors, so S sits
+    #    OUTSIDE the tiled block dims -> keep (B, S, n, P); the kernel then
+    #    reads each row across an 8-sublane-padded (n, P) tile ("snp");
+    #  * plain scans (the single-chip hot path) transpose to (B, n, S, P)
+    #    so each direction's P2 plane is a contiguous (S, P) tile and the
+    #    per-row read is a clean (1, W) slice — restoring the r01-fast
+    #    layout (the "snp"-only interlude cost the aggregation kernel ~13%).
+    p2_nsp = not has_carry
+    if p2_nsp:
+        p2 = jnp.swapaxes(p2, 1, 2)
+
     base = functools.partial(
         _scan_group_kernel,
         rows=block_rows, d=d, w=p, rolls=tuple(rolls), reverse=reverse,
-        p1=p1, restart=restart, wta=wta,
+        p1=p1, restart=restart, wta=wta, p2_nsp=p2_nsp,
     )
     n_wta = 0 if wta is None else (10 if wta[1] else 5)
 
@@ -212,15 +233,18 @@ def _directional_scan_group(
             memory_space=pltpu.VMEM,
         )
 
-    # (B, S, n, P) layout: the chunked S axis sits OUTSIDE the last two
-    # block dims, so any divisor chunk size is legal (Mosaic requires the
-    # last two dims be 8/128-divisible or equal the array dims — n and P
-    # equal theirs)
-    p2_spec = pl.BlockSpec(
-        (1, block_rows, len(rolls), p),
-        lambda bi, ci: (bi, grid[1] - 1 - ci if reverse else ci, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    if p2_nsp:
+        p2_spec = pl.BlockSpec(
+            (1, len(rolls), block_rows, p),
+            lambda bi, ci: (bi, 0, grid[1] - 1 - ci if reverse else ci, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        p2_spec = pl.BlockSpec(
+            (1, block_rows, len(rolls), p),
+            lambda bi, ci: (bi, grid[1] - 1 - ci if reverse else ci, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
     ccost_spec = pl.BlockSpec((1, n, d, p), lambda bi, ci: (bi, 0, 0, 0),
                               memory_space=pltpu.VMEM)
     cmin_spec = pl.BlockSpec((1, n, 1, p), lambda bi, ci: (bi, 0, 0, 0),
@@ -687,8 +711,9 @@ def _speckle_labels_kernel(disp_ref, out_ref, mask_ref,
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
 
     disp = disp_ref[0]
-    finite = disp < jnp.float32(1e30)
-    finite_i = finite.astype(jnp.int32)   # Mosaic can't rotate 1-bit vectors
+    finite = jnp.isfinite(disp)           # NaN/-inf-consistent with the jnp
+    finite_i = finite.astype(jnp.int32)   # path; Mosaic can't rotate 1-bit
+    # vectors, hence the int32 copy
     d = jnp.where(finite, disp, jnp.float32(1e30))
 
     def edge(dr, dc):
@@ -1065,23 +1090,45 @@ def _lr_check_kernel(dl_ref, dr_ref, out_ref, *, rows: int, w: int,
     SemiGlobalMatching.c:445-470): the right-map sample at
     ``j - trunc(disp + 0.5)`` comes from a (max_shift+2)-way select over
     lane-rolled copies — but here the rolls happen on the VMEM-resident
-    block, so HBM sees each plane exactly once."""
+    block, so HBM sees each plane exactly once.
+
+    For ``max_shift > 128`` the roll/select loop runs as a ``fori_loop``
+    with *dynamic* lane rotates (the WTA-shear technique) so the Mosaic
+    program stays O(1) in the disparity range — this is what lets the
+    flagship D=192/256 configs stay on the kernel instead of the O(D)
+    XLA fallback.  Wrapped/padded lanes only ever contaminate selections
+    whose ``col_right`` is out of range, which are killed regardless of
+    the sampled value, so the circular rotate is exact."""
     disp_l = dl_ref[0]
     disp_r = dr_ref[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
     cols = lane.astype(jnp.float32)
 
-    valid = disp_l < jnp.float32(1e30)     # isfinite for +inf-invalid maps
+    valid = jnp.isfinite(disp_l)
     dl = jnp.where(valid, disp_l, 0.0)
     col_right = jnp.trunc(cols - dl + jnp.float32(0.5)).astype(jnp.int32)
     in_range = (col_right >= 0) & (col_right < w)
 
     shift = lane - col_right
-    dr_sel = jnp.zeros((rows, w), jnp.float32)
-    for k in range(-1, min(max_shift, w - 1) + 2):
-        dr_sel = jnp.where(shift == k, _roll(disp_r, k, axis=1), dr_sel)
+    kend = min(max_shift, w - 1) + 2       # shifts are in [-1, kend)
+    if max_shift <= 128:
+        # static unroll: slightly faster, compiles fine for small ranges
+        dr_sel = jnp.zeros((rows, w), jnp.float32)
+        for k in range(-1, kend):
+            dr_sel = jnp.where(shift == k, _roll(disp_r, k, axis=1), dr_sel)
+    else:
+        wp = _round_up(w, 128)             # dynamic rotate: native lane width
+        dr_p = jnp.pad(disp_r, ((0, 0), (0, wp - w)))
 
-    r_finite = dr_sel < jnp.float32(1e30)
+        def body(i, dr_sel):
+            k = i - 1
+            rolled = pltpu.roll(dr_p, jax.lax.rem(k + wp, wp), axis=1)[:, :w]
+            return jnp.where(shift == k, rolled, dr_sel)
+
+        dr_sel = jax.lax.fori_loop(
+            0, kend + 1, body, jnp.zeros((rows, w), jnp.float32))
+
+    r_finite = jnp.isfinite(dr_sel)
     dr_v = jnp.where(r_finite, dr_sel, 0.0)
     mismatch = jnp.abs(dl - dr_v) > jnp.float32(thres)
     kill = valid & (~in_range | (r_finite & mismatch))
@@ -1093,18 +1140,15 @@ def _lr_check_kernel(dl_ref, dr_ref, out_ref, *, rows: int, w: int,
 def lr_check_pallas(disp_left: jnp.ndarray, disp_right: jnp.ndarray,
                     thres: float, max_shift: int,
                     block_rows: int = 128) -> jnp.ndarray:
-    """Pallas LR check, bit-equal to ``postprocess.lr_check``.
+    """Pallas LR check, bit-equal to ``postprocess.lr_check`` (including
+    NaN/-inf inputs: both paths use the same isfinite predicates).
 
-    disp maps: (..., H, W) float32 with +inf invalid."""
+    disp maps: (..., H, W) float32 with +inf invalid.  All disparity
+    ranges stay on the kernel: ``max_shift <= 128`` statically unrolls the
+    roll-select, larger ranges run the O(1)-program dynamic-rotate loop
+    (see ``_lr_check_kernel``)."""
     if max_shift <= 0:
         raise ValueError("max_shift must be positive (the disparity bound)")
-    if max_shift > 128 and not _interpret():
-        # the kernel statically unrolls max_shift+3 roll/selects — the same
-        # O(d) Mosaic program-size risk the WTA shear gates at 128; large
-        # ranges take the known-good XLA path
-        from .postprocess import lr_check as _jnp_lr
-
-        return _jnp_lr(disp_left, disp_right, thres, max_shift)
     unbatched = disp_left.ndim == 2
     if unbatched:
         disp_left, disp_right = disp_left[None], disp_right[None]

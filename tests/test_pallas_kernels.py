@@ -141,6 +141,44 @@ def test_lr_check_kernel_parity():
     assert ((np.isinf(want) == np.isinf(got)) & (both_inf | (want == got))).all()
 
 
+@pytest.mark.parametrize("max_shift", [192, 256])
+def test_lr_check_kernel_large_range_dynamic(max_shift):
+    """max_shift > 128 takes the dynamic-rotate fori_loop (the flagship
+    KITTI-2015 D=192 / Middlebury-2014 D=256 configs no longer fall back
+    to the O(D) XLA select): bit-equal to the jnp path."""
+    rng = np.random.default_rng(23)
+    h, w = 24, 300
+    hi = min(max_shift, w) - 1
+    dl = rng.uniform(0, hi, (h, w)).astype(np.float32)
+    dr = rng.uniform(0, hi, (h, w)).astype(np.float32)
+    dl[rng.random((h, w)) < 0.2] = np.inf
+    dr[rng.random((h, w)) < 0.2] = np.inf
+    want = np.asarray(postprocess.lr_check(jnp.asarray(dl), jnp.asarray(dr),
+                                           1.0, max_shift=max_shift))
+    got = np.asarray(pk.lr_check_pallas(jnp.asarray(dl), jnp.asarray(dr),
+                                        1.0, max_shift=max_shift,
+                                        block_rows=8))
+    assert np.array_equal(want, got)
+
+
+def test_lr_check_kernel_nonfinite_inputs():
+    """NaN and -inf inputs: both paths share isfinite predicates, so the
+    kernel stays bit-equal even off the pipeline's +inf-only contract."""
+    rng = np.random.default_rng(29)
+    h, w = 16, 40
+    dl = rng.uniform(0, 15, (h, w)).astype(np.float32)
+    dr = rng.uniform(0, 15, (h, w)).astype(np.float32)
+    for a in (dl, dr):
+        a[rng.random((h, w)) < 0.15] = np.inf
+        a[rng.random((h, w)) < 0.1] = -np.inf
+        a[rng.random((h, w)) < 0.1] = np.nan
+    want = np.asarray(postprocess.lr_check(jnp.asarray(dl), jnp.asarray(dr),
+                                           1.0, max_shift=16))
+    got = np.asarray(pk.lr_check_pallas(jnp.asarray(dl), jnp.asarray(dr),
+                                        1.0, max_shift=16, block_rows=16))
+    assert np.array_equal(want, got, equal_nan=True)
+
+
 def test_speckle_strip_decomposition_exact():
     """Frames above the VMEM pixel budget split into min_area-halo row
     strips — exact, because small components fit within Chebyshev radius
