@@ -48,10 +48,12 @@ class SGMOptions:
     # --- framework-only knobs (no reference equivalent) ------------------
     # Median behaviour: the reference calls MedianFilter in place
     # (SGM_Match, SemiGlobalMatching.c:120) so later pixels read already
-    # filtered neighbours.  That raster-scan recurrence is inherently
-    # sequential; the TPU default is the standard out-of-place median.
-    # ``median_inplace=True`` is honoured only by the numpy oracle (used for
-    # bit-exact golden comparison).
+    # filtered neighbours.  ``median_inplace=True`` reproduces that raster
+    # recurrence exactly on device via a t=2i+j wavefront
+    # (ops/postprocess.median_filter_3x3_inplace) — ~2H+W sequential steps,
+    # so it is the bit-parity mode; the TPU-native default stays the
+    # standard out-of-place median (divergence between the two is
+    # quantified in PARITY.md).
     median_inplace: bool = False
 
     def __post_init__(self) -> None:

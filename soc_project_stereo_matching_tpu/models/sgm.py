@@ -23,7 +23,8 @@ from ..config import EngineConfig, SGMOptions
 from ..ops.aggregation import aggregate_paths
 from ..ops.census import census_5x5
 from ..ops.cost_volume import hamming_cost_volume
-from ..ops.postprocess import lr_check, median_filter_3x3, remove_speckles
+from ..ops.postprocess import (lr_check, median_filter_3x3,
+                               median_filter_3x3_inplace, remove_speckles)
 from ..ops.wta import compute_disparity, finalize_disparity
 
 
@@ -90,6 +91,11 @@ def sgm_forward(
             disp = jax.vmap(
                 lambda d: remove_speckles(d, 1.0, options.min_speckle_area)
             )(flat).reshape(batch + disp.shape[-2:])
+    if options.median_inplace:
+        # reference-exact raster-recurrence median (SemiGlobalMatching.c:120
+        # calls MedianFilter with in == out); wavefront-sequential, so it is
+        # the parity mode, not the perf path — see postprocess.py
+        return median_filter_3x3_inplace(disp)
     return median_filter_3x3(disp)
 
 

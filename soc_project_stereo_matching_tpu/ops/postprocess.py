@@ -171,20 +171,10 @@ def remove_speckles(
     return jnp.where(finite & small, _INF, disp)
 
 
-@jax.jit
-def median_filter_3x3(disp: jnp.ndarray) -> jnp.ndarray:
-    """Out-of-place 3x3 median; 1-px border untouched.
-
-    Median-of-9 via Paeth's 19-exchange min/max network — a straight-line
-    VPU program XLA fuses fully (jnp.sort materialises 9 sorted planes).
-    +inf invalid markers order correctly under min/max.
-
-    (The reference applies its median in place — a raster-scan recurrence
-    that is inherently sequential; see SGMOptions.median_inplace.  The
-    out-of-place filter is the TPU-native default.)"""
-    h, w = disp.shape[-2], disp.shape[-1]
-    p = [disp[..., 1 + r:h - 1 + r, 1 + c:w - 1 + c]
-         for r in (-1, 0, 1) for c in (-1, 0, 1)]
+def _median9(planes):
+    """Median of 9 equal-shape planes via Paeth's 19-exchange min/max
+    network (straight-line VPU code; +inf orders correctly)."""
+    p = list(planes)
 
     def ex(i, j):
         p[i], p[j] = jnp.minimum(p[i], p[j]), jnp.maximum(p[i], p[j])
@@ -193,4 +183,58 @@ def median_filter_3x3(disp: jnp.ndarray) -> jnp.ndarray:
                  (4, 5), (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4),
                  (2, 5), (4, 7), (4, 2), (6, 4), (4, 2)):
         ex(i, j)
-    return disp.at[..., 1:h - 1, 1:w - 1].set(p[4])
+    return p[4]
+
+
+@jax.jit
+def median_filter_3x3_inplace(disp: jnp.ndarray) -> jnp.ndarray:
+    """In-place (raster-recurrence) 3x3 median, bit-equal to the reference.
+
+    The reference calls ``MedianFilter`` with ``in == out``
+    (``SGM_Match``, SemiGlobalMatching.c:120), so the raster scan reads
+    already-filtered values at (i-1, j-1), (i-1, j), (i-1, j+1) and
+    (i, j-1) and raw values elsewhere.  Every such dependency has strictly
+    smaller ``t = 2i + j`` (deltas -3, -2, -1, -1), so all pixels on one
+    t-wavefront are independent: a ``fori_loop`` over t applies the median
+    to one anti-slope-2 front per step — 2(H-2)+(W-2)-2 sequential steps
+    of full-plane VPU work.  This is the exact-parity mode (the one
+    reference behaviour an out-of-place filter cannot reproduce); the
+    TPU-native default remains ``median_filter_3x3``.
+
+    Accepts (..., H, W); the 1-px border is untouched.
+    """
+    h, w = disp.shape[-2], disp.shape[-1]
+    if h < 3 or w < 3:
+        return disp
+    ri = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    interior = (ri >= 1) & (ri < h - 1) & (ci >= 1) & (ci < w - 1)
+
+    def step(t, buf):
+        # rolled neighbour reads only contaminate the border, never selected
+        p = [jnp.roll(buf, (-r, -c), axis=(-2, -1))
+             for r in (-1, 0, 1) for c in (-1, 0, 1)]
+        med = _median9(p)
+        mask = interior & (2 * ri + ci == t)
+        return jnp.where(mask, med, buf)
+
+    # interior t spans [2*1+1, 2*(h-2)+(w-2)]
+    return jax.lax.fori_loop(3, 2 * (h - 2) + (w - 2) + 1, step, disp)
+
+
+@jax.jit
+def median_filter_3x3(disp: jnp.ndarray) -> jnp.ndarray:
+    """Out-of-place 3x3 median; 1-px border untouched.
+
+    Median-of-9 via Paeth's 19-exchange min/max network — a straight-line
+    VPU program XLA fuses fully (jnp.sort materialises 9 sorted planes).
+    +inf invalid markers order correctly under min/max.
+
+    (The reference applies its median in place — a raster-scan recurrence;
+    ``median_filter_3x3_inplace`` reproduces it exactly, see
+    SGMOptions.median_inplace.  The out-of-place filter is the TPU-native
+    default.)"""
+    h, w = disp.shape[-2], disp.shape[-1]
+    med = _median9([disp[..., 1 + r:h - 1 + r, 1 + c:w - 1 + c]
+                    for r in (-1, 0, 1) for c in (-1, 0, 1)])
+    return disp.at[..., 1:h - 1, 1:w - 1].set(med)

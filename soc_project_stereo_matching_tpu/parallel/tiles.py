@@ -39,7 +39,8 @@ from ..config import SGMOptions
 from ..ops.aggregation import DIRECTIONS_4, DIRECTIONS_8, ScanCarry, directional_scan
 from ..ops.census import census_5x5
 from ..ops.cost_volume import hamming_cost_volume
-from ..ops.postprocess import lr_check, median_filter_3x3, remove_speckles
+from ..ops.postprocess import (lr_check, median_filter_3x3,
+                               median_filter_3x3_inplace, remove_speckles)
 from ..ops.wta import compute_disparity
 
 
@@ -270,6 +271,18 @@ def _post_aggregation(aggr: jnp.ndarray, options: SGMOptions,
             full = spk(full) if full.ndim == 2 else jax.vmap(spk)(full)
         disp = jax.lax.dynamic_slice_in_dim(full, my * ht, ht, axis=rows_axis)
 
+    if options.median_inplace:
+        # the raster recurrence crosses every tile boundary; the disparity
+        # plane is small, so gather it whole (like speckle) and run the
+        # wavefront in-place median globally — reference-exact
+        if k > 1:
+            full = jax.lax.all_gather(disp, axis_name, axis=rows_axis,
+                                      tiled=True)
+        else:
+            full = disp
+        full = median_filter_3x3_inplace(full)
+        return jax.lax.dynamic_slice_in_dim(full, my * ht, ht,
+                                            axis=rows_axis)
     padded = halo_exchange_rows(disp, 1, axis_name, k)
     med = median_filter_3x3(padded)[..., 1:1 + ht, :]
     gr = my * ht + jnp.arange(ht)
