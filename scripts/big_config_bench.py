@@ -45,7 +45,7 @@ def load_resized(w, h):
     return resize_image(left, w, h), resize_image(right, w, h)
 
 
-def run_config(name, w, h, d, batch, iters=4, tiled=False):
+def run_config(name, w, h, d, batch, iters=4, tiled=False, dmin=0):
     import jax
     import jax.numpy as jnp
 
@@ -56,7 +56,7 @@ def run_config(name, w, h, d, batch, iters=4, tiled=False):
     from soc_project_stereo_matching_tpu.utils.profiling import (
         chained_match_time)
 
-    opts = SGMOptions(max_disparity=d)
+    opts = SGMOptions(min_disparity=dmin, max_disparity=d)
     left, right = load_resized(w, h)
     lefts = jnp.asarray(np.broadcast_to(left, (batch, h, w)))
     rights = jnp.asarray(np.broadcast_to(right, (batch, h, w)))
@@ -81,7 +81,7 @@ def run_config(name, w, h, d, batch, iters=4, tiled=False):
     dt = dt_call / batch
     valid = float(np.isfinite(out0[0]).mean())
     res = {"config": name, "width": w, "height": h, "max_disparity": d,
-           "batch": batch, "tiled": tiled,
+           "min_disparity": dmin, "batch": batch, "tiled": tiled,
            "ms_per_frame": round(dt * 1e3, 2),
            "fps_per_chip": round(1.0 / dt, 1),
            "valid_frac": round(valid, 3),
@@ -97,7 +97,12 @@ def main():
     log(f"backend={jax.default_backend()}, devices={jax.devices()}")
     results = []
     for cfg in (
-            ("kitti2012-fullres", 1242, 375, 128, dict(batch=4)),
+            # 128 disparity levels shifted to cover the scaled content
+            # (cone GT spans 5.5-55 px at 450 wide -> 15-152 at 1242; the
+            # old [0, 128) config put a third of the scene out of range by
+            # construction and valid_frac measured that mismatch, not
+            # pipeline health — VERDICT r2 weak #8)
+            ("kitti2012-fullres", 1242, 375, 152, dict(batch=4, dmin=24)),
             ("kitti2015-geometry", 1242, 375, 192, dict(batch=4)),
             ("middlebury2014-half", 1500, 1000, 256, dict(batch=1, iters=3)),
             ("middlebury2014-half-tiled", 1500, 1000, 256,

@@ -1,0 +1,166 @@
+"""Engine-vs-reference accuracy side-by-side through the platform.
+
+The reference's own comparison workflow is: the test-platform server streams
+frames, a client computes depth, the server scores it against ground truth
+(HostScript_Server/server.py:183-310 scoring HostScript_Server/client.py's
+OpenCV StereoSGBM output, client.py:81-84).  This script reproduces that
+workflow with BOTH clients against the SAME CompatServer scorer:
+
+  * the reference-pipeline stand-in: an OpenCV ``StereoSGBM_create(
+    numDisparities=176, blockSize=1)`` client mirroring client.py's
+    semantics (disparity/16, negatives -> NaN, depth = fx*b/(d+doffs));
+  * the TPU engine via compat/client.py (firmware-grayscale + SGM +
+    identical depth conversion).
+
+Each client walks all four in-container reference pairs at the server's
+1280x720 device frame format; the two per-client stats JSONs produced by
+the same scoring path become the two columns.  Writes
+results/engine_vs_sgbm.json and prints a markdown table to stderr.
+
+Run:  python scripts/engine_vs_reference_table.py [--engine-dmax 192]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import socket
+import struct
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_sgbm_client(host: str, port: int, num_disparities: int = 176,
+                    block_size: int = 1) -> int:
+    """OpenCV-SGBM client, semantics mirroring the reference's simulated
+    client (HostScript_Server/client.py:47-120)."""
+    import cv2
+
+    from soc_project_stereo_matching_tpu.compat import protocol as proto
+
+    sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    sock.connect((host, port))
+    frames = 0
+    try:
+        while True:
+            sock.sendall(struct.pack("<B", proto.REQ_IMG_CALIB))
+            header, calib, left_bgr, right_bgr = proto.recv_stereo_frame(sock)
+            if header.type_id == proto.REQ_CLOSE:
+                break
+            gl = cv2.cvtColor(left_bgr, cv2.COLOR_BGR2GRAY)
+            gr = cv2.cvtColor(right_bgr, cv2.COLOR_BGR2GRAY)
+            stereo = cv2.StereoSGBM_create(numDisparities=num_disparities,
+                                           blockSize=block_size)
+            disp = stereo.compute(gl, gr).astype(np.float32) / 16.0
+            disp[disp < 0] = np.nan
+            denom = disp + np.float32(calib.doffs)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                depth = np.where(
+                    np.isfinite(denom) & (denom != 0.0),
+                    np.float32(calib.fx0) * np.float32(calib.baseline) / denom,
+                    np.nan).astype(np.float32)
+            proto.send_depth_image(sock, header.seq, depth)
+            frames += 1
+    finally:
+        sock.close()
+    return frames
+
+
+def collect_new_stats(stats_dir: Path, before: set) -> dict:
+    new = [p for p in stats_dir.glob("*.txt") if p not in before]
+    assert len(new) == 1, (new, sorted(stats_dir.glob("*.txt")))
+    return json.loads(new[0].read_text())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--engine-dmax", type=int, default=192,
+                    help="engine disparity range at the 1280-wide device "
+                         "format (cone scaled x2.84 peaks ~180; the SGBM "
+                         "stand-in uses the reference's numDisparities=176)")
+    args = ap.parse_args()
+
+    from soc_project_stereo_matching_tpu import SGMOptions
+    from soc_project_stereo_matching_tpu.compat.client import run_client
+    from soc_project_stereo_matching_tpu.compat.server import CompatServer
+    from soc_project_stereo_matching_tpu.data.datasets import (
+        reference_data_pairs)
+
+    pairs = reference_data_pairs()
+    names = [Path(p).name for p in pairs]
+    tmp = Path(tempfile.mkdtemp(prefix="engine_vs_sgbm_"))
+    server = CompatServer(pairs, host="127.0.0.1", port=0, stats_dir=tmp)
+    port = server.start()
+    log(f"server on 127.0.0.1:{port}, {len(pairs)} pairs -> {names}")
+
+    try:
+        before = set(tmp.glob("*.txt"))
+        n = run_sgbm_client("127.0.0.1", port)
+        time.sleep(1.0)              # let the server flush the stats file
+        sgbm = collect_new_stats(tmp, before)
+        log(f"SGBM client scored {n} frames")
+
+        before = set(tmp.glob("*.txt"))
+        n = run_client("127.0.0.1", port,
+                       options=SGMOptions(max_disparity=args.engine_dmax))
+        time.sleep(1.0)
+        engine = collect_new_stats(tmp, before)
+        log(f"TPU-engine client scored {n} frames")
+    finally:
+        server.stop()
+
+    rows = []
+    for i, name in enumerate(names):
+        try:
+            ms = next(m for m in sgbm["measurements"] if m["seq"] == i)
+            me = next(m for m in engine["measurements"] if m["seq"] == i)
+        except StopIteration:
+            continue
+        rows.append({
+            "pair": name,
+            "sgbm_rmse_mm": round(ms["rmse_mm"], 2),
+            "engine_rmse_mm": round(me["rmse_mm"], 2),
+            "sgbm_bpr": round(ms["bpr"], 4),
+            "engine_bpr": round(me["bpr"], 4),
+            "sgbm_n_valid": ms["n_valid"],
+            "engine_n_valid": me["n_valid"],
+        })
+
+    out = REPO / "results" / "engine_vs_sgbm.json"
+    out.parent.mkdir(exist_ok=True)
+    out.write_text(json.dumps({
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "format": "1280x720 device frames, depth scored by CompatServer "
+                  "(compare_depth semantics, abs_thresh 10 mm)",
+        "sgbm": "cv2.StereoSGBM_create(numDisparities=176, blockSize=1) "
+                "per HostScript_Server/client.py:81-84",
+        "engine": f"TPU SGM engine, D={args.engine_dmax}, reference CLI "
+                  "options otherwise",
+        "rows": rows,
+        "sgbm_fps": sgbm.get("fps"),
+        "engine_fps": engine.get("fps"),
+    }, indent=2))
+    log(f"wrote {out}")
+
+    log("\n| pair | SGBM rmse (mm) | engine rmse (mm) | SGBM bpr | "
+        "engine bpr | SGBM n_valid | engine n_valid |")
+    log("|---|---|---|---|---|---|---|")
+    for r in rows:
+        log(f"| {r['pair']} | {r['sgbm_rmse_mm']} | {r['engine_rmse_mm']} | "
+            f"{r['sgbm_bpr']} | {r['engine_bpr']} | {r['sgbm_n_valid']} | "
+            f"{r['engine_n_valid']} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -72,7 +72,21 @@ want = np.asarray(SGMEngine(opts).match(left[0], right[0]))
 both_inf = np.isinf(want) & np.isinf(full)
 ok = ((np.isinf(want) == np.isinf(full)) & (both_inf | (want == full))).all()
 assert ok, "cross-process tiled match != single-device"
-print(json.dumps({"pid": pid, "ok": True, "metrics": got}), flush=True)
+
+# --- production Pallas carries across the process boundary ----------------
+# The directional_scan_group carry tensors (the ones a real multi-host
+# slice ships over DCN) ppermute between global devices 3 and 4, i.e.
+# across the two OS processes; interpret-mode kernels on CPU.
+matcher_pk = make_tiled_matcher(opts, mesh, h, w, cross_tile="exact",
+                                use_pallas=True)
+full_pk = np.asarray(multihost_utils.process_allgather(
+    matcher_pk(gl, gr), tiled=True))[0]
+both_inf = np.isinf(want) & np.isinf(full_pk)
+ok_pk = ((np.isinf(want) == np.isinf(full_pk))
+         & (both_inf | (want == full_pk))).all()
+assert ok_pk, "cross-process Pallas-carry tiled match != single-device"
+print(json.dumps({"pid": pid, "ok": True, "pallas_ok": True,
+                  "metrics": got}), flush=True)
 """
 
 
