@@ -84,10 +84,18 @@ def main() -> None:
         out = engine._batched(l, r)
         return l ^ jnp.isfinite(out).astype(jnp.uint8), out
 
+    # Compile and first-batch execution timed separately: the structural
+    # cold compile is ~25 s (results/compile_profile.json), but the relay's
+    # first dispatch can add minutes of tunnel-side variance — conflating
+    # them (as r02's single 969 s line did) misattributes relay weather to
+    # the Mosaic program.
     t0 = time.perf_counter()
-    l, out = step(lefts, rights)
+    compiled = step.lower(lefts, rights).compile()
+    log(f"compile: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    l, out = compiled(lefts, rights)
     _ = jax.device_get(out[0, 0, 0])
-    log(f"compile+first batch: {time.perf_counter() - t0:.1f}s")
+    log(f"first batch: {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
     l = lefts

@@ -696,50 +696,22 @@ def _ceil_log2(n: int) -> int:
 _SPECKLE_VMEM_PIXELS = 950_000
 
 
-def _speckle_labels_kernel(disp_ref, out_ref, mask_ref,
-                           *, h: int, w: int, diff: float):
-    """Connected-component min-labels for one frame, entirely in VMEM.
+def _cc_propagate(get_val, set_val, get_mask, *, h: int, w: int, big):
+    """Min-propagate a VMEM plane to its per-component fixed point.
 
-    Edge masks (8-connectivity, both finite, |dd| <= diff) are packed into
-    one int32 bitmask plane; each while round applies segmented min over
-    horizontal and vertical runs (Hillis-Steele doubling with explicit
-    identity shift-in, no wrap contamination) plus 4 masked diagonal
-    shift-mins.  Convergence = fixed point = per-component-constant labels
-    = the component minimum (see ops/postprocess.remove_speckles).
-    """
+    ``get_val``/``set_val`` read/write the (h, w) int32 value plane;
+    ``get_mask`` reads the packed edge bitmask (bit 0: link to (r, c-1);
+    bit 1: link to (r-1, c); bits 2-5: the diagonals in ``_CC_OFFSETS``
+    order).  Each while round applies segmented min over horizontal and
+    vertical runs (Hillis-Steele doubling with explicit identity shift-in,
+    no wrap contamination) plus 4 masked diagonal shift-mins, alternating
+    with a cheap 8-neighbour shift-min round.  Convergence = fixed point =
+    per-component-constant values = the component minimum.
+
+    Shared by the label kernel (values = pixel indices) and the filter
+    kernel (values = 0 at small-component roots, ``big`` elsewhere)."""
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-
-    disp = disp_ref[0]
-    finite = jnp.isfinite(disp)           # NaN/-inf-consistent with the jnp
-    finite_i = finite.astype(jnp.int32)   # path; Mosaic can't rotate 1-bit
-    # vectors, hence the int32 copy
-    d = jnp.where(finite, disp, jnp.float32(1e30))
-
-    def edge(dr, dc):
-        """True where pixel links to neighbour at (r+dr, c+dc)."""
-        nd = _roll(_roll(d, -dr, 0), -dc, 1)
-        nf = _roll(_roll(finite_i, -dr, 0), -dc, 1) != 0
-        ok = finite & nf & (jnp.abs(d - nd) <= jnp.float32(diff))
-        if dr > 0:
-            ok &= row_iota < h - dr
-        elif dr < 0:
-            ok &= row_iota >= -dr
-        if dc > 0:
-            ok &= lane_iota < w - dc
-        elif dc < 0:
-            ok &= lane_iota >= -dc
-        return ok
-
-    # bit 0: link to (r, c-1);  bit 1: link to (r-1, c);  bits 2-5: diagonals
-    offsets = ((0, -1), (-1, 0), (-1, -1), (-1, 1), (1, -1), (1, 1))
-    masks = jnp.zeros((h, w), jnp.int32)
-    for bit, (dr, dc) in enumerate(offsets):
-        masks = masks | jnp.where(edge(dr, dc), 1 << bit, 0)
-    mask_ref[...] = masks
-    out_ref[0] = row_iota * w + lane_iota
-
-    big = jnp.int32(h * w)
 
     def seg_min_doubling(lab, conn, axis, n):
         """Segmented min over runs along `axis`; conn (int32 0/1) links k
@@ -761,7 +733,7 @@ def _speckle_labels_kernel(disp_ref, out_ref, mask_ref,
         return jnp.minimum(fwd_v, bwd_v)
 
     def diag_pass(new, m):
-        for bit, (dr, dc) in zip((2, 3, 4, 5), offsets[2:]):
+        for bit, (dr, dc) in zip((2, 3, 4, 5), _CC_OFFSETS[2:]):
             nl = _roll(_roll(new, -dr, 0), -dc, 1)
             new = jnp.minimum(new, jnp.where((m & (1 << bit)) != 0, nl, big))
         return new
@@ -794,70 +766,136 @@ def _speckle_labels_kernel(disp_ref, out_ref, mask_ref,
 
     def body(state):
         _, it = state
-        lab = out_ref[0]
-        m = mask_ref[...]
+        lab = get_val()
+        m = get_mask()
         # Alternate: segmented rounds give log-depth long-range hops, the
         # cheap rounds mop up locally at a quarter of the cost.
         new = jax.lax.cond(it % 2 == 0, seg_round, cheap_round, lab, m)
-        out_ref[0] = new
+        set_val(new)
         return jnp.any(new != lab), it + 1
 
     jax.lax.while_loop(lambda s: s[0], body, (jnp.bool_(True), jnp.int32(0)))
 
 
-_LO = 512  # low-radix of the MXU histogram
+# Diagonal edge order for the packed connectivity bitmask (bits 2-5).
+_CC_OFFSETS = ((0, -1), (-1, 0), (-1, -1), (-1, 1), (1, -1), (1, 1))
 
 
-def _hist_kernel(lab_ref, fin_ref, out_ref, *, pc: int, khi: int):
-    """MXU histogram: label l splits into (l>>9, l&511); per grid chunk the
-    two one-hot matrices (built in VMEM, pixels on the lane axis) contract
-    on the MXU into a (KHI, 512) f32 count plane accumulated across the
-    chunk grid dimension.  Replaces XLA scatter-add, which TPU executes
-    near-serially."""
+def _speckle_labels_kernel(disp_ref, out_ref, mask_ref,
+                           *, h: int, w: int, diff: float, lo_bits: int):
+    """Connected-component min-labels for one frame, entirely in VMEM.
+
+    Labels are initialised to ``(row << lo_bits) | col`` (lo_bits =
+    ceil_log2(w)) — the same lexicographic (row, col) order as flat
+    indices, so min-propagation converges to the component's top-leftmost
+    pixel, but the high/low bit split of a label IS its (row, col): the
+    histogram's count for a component lands at its root pixel's position,
+    which the filter kernel can then read elementwise (no gather, no
+    second lookup matmul).  The packed edge bitmask is emitted through
+    ``mask_ref`` for reuse by the filter kernel.
+    """
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    disp = disp_ref[0]
+    finite = jnp.isfinite(disp)           # NaN/-inf-consistent with the jnp
+    finite_i = finite.astype(jnp.int32)   # path; Mosaic can't rotate 1-bit
+    # vectors, hence the int32 copy
+    d = jnp.where(finite, disp, jnp.float32(1e30))
+
+    def edge(dr, dc):
+        """True where pixel links to neighbour at (r+dr, c+dc)."""
+        nd = _roll(_roll(d, -dr, 0), -dc, 1)
+        nf = _roll(_roll(finite_i, -dr, 0), -dc, 1) != 0
+        ok = finite & nf & (jnp.abs(d - nd) <= jnp.float32(diff))
+        if dr > 0:
+            ok &= row_iota < h - dr
+        elif dr < 0:
+            ok &= row_iota >= -dr
+        if dc > 0:
+            ok &= lane_iota < w - dc
+        elif dc < 0:
+            ok &= lane_iota >= -dc
+        return ok
+
+    masks = jnp.zeros((h, w), jnp.int32)
+    for bit, (dr, dc) in enumerate(_CC_OFFSETS):
+        masks = masks | jnp.where(edge(dr, dc), 1 << bit, 0)
+    mask_ref[0] = masks
+    out_ref[0] = (row_iota << lo_bits) | lane_iota
+
+    _cc_propagate(lambda: out_ref[0], lambda v: out_ref.__setitem__(0, v),
+                  lambda: mask_ref[0], h=h, w=w, big=jnp.int32(h << lo_bits))
+
+
+def _speckle_filter_kernel(disp_ref, lab_ref, mask_ref, counts_ref, out_ref,
+                           flag_ref, *, h: int, w: int, min_area: int,
+                           lo_bits: int):
+    """Deliver the small-component verdict and filter, entirely in VMEM.
+
+    ``counts_ref`` is the (h, 1 << lo_bits) histogram of labels over
+    finite pixels: a bin is non-zero only at a component root's own
+    (row, col) position (labels are root coordinates, see the label
+    kernel), so ``root_small`` is an elementwise read.  The verdict
+    reaches every member by min-propagating 0 from small roots over the
+    same edge bitmask; small components have < min_area pixels, hence
+    tiny diameter, so this converges in a couple of rounds."""
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    disp = disp_ref[0]
+    lab = lab_ref[0]
+    counts = counts_ref[0][:, :w]                    # (h, w) f32
+    big = jnp.int32(h << lo_bits)
+
+    myidx = (row_iota << lo_bits) | lane_iota
+    root_small = (lab == myidx) & (counts > 0) \
+        & (counts < jnp.float32(min_area))
+    flag_ref[...] = jnp.where(root_small, 0, big)
+
+    _cc_propagate(lambda: flag_ref[...],
+                  lambda v: flag_ref.__setitem__(..., v),
+                  lambda: mask_ref[0], h=h, w=w, big=big)
+
+    small = flag_ref[...] == 0
+    finite = jnp.isfinite(disp)
+    out_ref[0] = jnp.where(finite & small, jnp.float32(jnp.inf), disp)
+
+
+def _hist_kernel(lab_ref, fin_ref, out_ref, *, pc: int, khi: int,
+                 lo_bits: int):
+    """MXU histogram: label l splits into (l >> lo_bits, l & lo_mask) =
+    its root's (row, col); per grid chunk the two one-hot matrices (built
+    in VMEM, pixels on the lane axis) contract on the MXU into a
+    (KHI=h, 1 << lo_bits) f32 count plane accumulated across the chunk
+    grid dimension.  Replaces XLA scatter-add, which TPU executes
+    near-serially; counts < 2^24 accumulate exactly in f32 and one-hots
+    are exact in bf16."""
     chunk = pl.program_id(1)
+    lo = 1 << lo_bits
 
     @pl.when(chunk == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
     hi_iota = jax.lax.broadcasted_iota(jnp.int32, (khi, pc), 0)
-    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LO, pc), 0)
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (lo, pc), 0)
     lab = lab_ref[0, 0]                                   # (1, Pc) int32
     fin = fin_ref[0, 0]
-    a = ((lab >> 9) == hi_iota) & (fin != 0)              # (KHI, Pc)
-    bm = (lab & (_LO - 1)) == lo_iota                     # (LO, Pc)
+    a = ((lab >> lo_bits) == hi_iota) & (fin != 0)        # (KHI, Pc)
+    bm = (lab & (lo - 1)) == lo_iota                      # (LO, Pc)
     out_ref[0] += jax.lax.dot_general(
         a.astype(jnp.bfloat16), bm.astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
-def _hist_lookup_kernel(lab_ref, small_t_ref, out_ref, *, pc: int, khi: int):
-    """small[p] = small2d[l>>9, l&511] via one MXU contraction + masked
-    sublane reduce — the gather-free counts[labels] lookup."""
-    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (khi, pc), 0)
-    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (_LO, pc), 0)
-    small_t = small_t_ref[0].astype(jnp.bfloat16)         # (LO, KHI)
-    lab = lab_ref[0, 0]
-    a = ((lab >> 9) == hi_iota).astype(jnp.bfloat16)      # (KHI, Pc)
-    tmp = jax.lax.dot_general(                            # (LO, Pc)
-        small_t, a,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    bm = (lab & (_LO - 1)) == lo_iota
-    out_ref[0, 0] = jnp.sum(
-        jnp.where(bm, tmp, 0.0), axis=0, keepdims=True).astype(jnp.int32)
-
-
-def _small_label_mask(labels: jnp.ndarray, finite: jnp.ndarray,
-                      min_area: int) -> jnp.ndarray:
-    """(B, N) int32 labels -> bool mask of pixels whose label's finite
-    count is in (0, min_area).  Exact: counts < 2^24 accumulate exactly in
-    f32; one-hots are exact in bf16."""
+def _label_counts(labels: jnp.ndarray, finite: jnp.ndarray, h: int,
+                  lo_bits: int) -> jnp.ndarray:
+    """(B, N) int32 root-coordinate labels -> (B, h, 1 << lo_bits) f32
+    counts of finite pixels per label, addressed by the root's (row, col)."""
     b, n = labels.shape
     pc = 2048
     npad = _round_up(n, pc)
-    khi = npad // _LO
     nchunks = npad // pc
     # (B, nchunks, 1, Pc): 4D so per-chunk blocks satisfy the (8,128)/equal
     # BlockSpec rule, and the chunk loop rides the grid (compile stays O(1)
@@ -867,31 +905,16 @@ def _small_label_mask(labels: jnp.ndarray, finite: jnp.ndarray,
                     ((0, 0), (0, npad - n))).reshape(b, nchunks, 1, pc)
     chunk_spec = pl.BlockSpec((1, 1, 1, pc), lambda bi, ci: (bi, ci, 0, 0),
                               memory_space=pltpu.VMEM)
-
-    counts = pl.pallas_call(
-        functools.partial(_hist_kernel, pc=pc, khi=khi),
+    lo = 1 << lo_bits
+    return pl.pallas_call(
+        functools.partial(_hist_kernel, pc=pc, khi=h, lo_bits=lo_bits),
         grid=(b, nchunks),
         in_specs=[chunk_spec, chunk_spec],
-        out_specs=pl.BlockSpec((1, khi, _LO), lambda bi, ci: (bi, 0, 0),
+        out_specs=pl.BlockSpec((1, h, lo), lambda bi, ci: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, khi, _LO), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h, lo), jnp.float32),
         interpret=_interpret(),
     )(lab_p, fin_p)
-
-    small_t = ((counts > 0) & (counts < min_area)).astype(
-        jnp.bfloat16).transpose(0, 2, 1)                  # (B, LO, KHI)
-
-    small = pl.pallas_call(
-        functools.partial(_hist_lookup_kernel, pc=pc, khi=khi),
-        grid=(b, nchunks),
-        in_specs=[chunk_spec,
-                  pl.BlockSpec((1, _LO, khi), lambda bi, ci: (bi, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=chunk_spec,
-        out_shape=jax.ShapeDtypeStruct((b, nchunks, 1, pc), jnp.int32),
-        interpret=_interpret(),
-    )(lab_p, small_t)
-    return small.reshape(b, npad)[:, :n] > 0
 
 
 @functools.partial(jax.jit, static_argnames=("diff_insame", "min_area"))
@@ -945,29 +968,38 @@ def remove_speckles_pallas(disp: jnp.ndarray, diff_insame: float = 1.0,
 
     flat = disp.reshape((-1, h, w))
     b = flat.shape[0]
+    lo_bits = max(_ceil_log2(w), 7)   # label = (row << lo_bits) | col
+    plane = pl.BlockSpec((1, h, w), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    vmem_params = pltpu.CompilerParams(vmem_limit_bytes=116 * 1024 * 1024)
 
-    labels = pl.pallas_call(
+    labels, masks = pl.pallas_call(
         functools.partial(_speckle_labels_kernel, h=h, w=w,
-                          diff=float(diff_insame)),
+                          diff=float(diff_insame), lo_bits=lo_bits),
         grid=(b,),
-        in_specs=[pl.BlockSpec((1, h, w), lambda bi: (bi, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, h, w), lambda bi: (bi, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((h, w), jnp.int32),   # packed edge bitmask
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=116 * 1024 * 1024),
+        in_specs=[plane],
+        out_specs=[plane, plane],
+        out_shape=[jax.ShapeDtypeStruct((b, h, w), jnp.int32)] * 2,
+        compiler_params=vmem_params,
         interpret=_interpret(),
     )(flat)
 
-    finite = jnp.isfinite(flat)
-    small = _small_label_mask(
-        labels.reshape(b, -1), finite.reshape(b, -1), min_area
-    ).reshape(b, h, w)
-    out = jnp.where(finite & small, jnp.float32(jnp.inf), flat)
+    counts = _label_counts(labels.reshape(b, -1),
+                           jnp.isfinite(flat).reshape(b, -1), h, lo_bits)
+
+    out = pl.pallas_call(
+        functools.partial(_speckle_filter_kernel, h=h, w=w,
+                          min_area=min_area, lo_bits=lo_bits),
+        grid=(b,),
+        in_specs=[plane, plane, plane,
+                  pl.BlockSpec((1, h, 1 << lo_bits), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=plane,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((h, w), jnp.int32)],  # verdict plane
+        compiler_params=vmem_params,
+        interpret=_interpret(),
+    )(flat, labels, masks, counts)
     out = out.reshape(batch + (h, w))
     return out[0] if unbatched else out
 
