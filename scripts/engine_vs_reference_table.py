@@ -113,7 +113,8 @@ def main():
 
         before = set(tmp.glob("*.txt"))
         n = run_client("127.0.0.1", port,
-                       options=SGMOptions(max_disparity=args.engine_dmax))
+                       options=SGMOptions(max_disparity=args.engine_dmax),
+                       calib_every_frame=True)
         time.sleep(1.0)
         engine = collect_new_stats(tmp, before)
         log(f"TPU-engine client scored {n} frames")

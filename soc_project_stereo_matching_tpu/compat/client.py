@@ -42,8 +42,17 @@ def bgr_planes_to_gray(img_bgr: np.ndarray) -> np.ndarray:
 def run_client(host: str = "127.0.0.1", port: int = 5001,
                max_frames: int = 1_000_000,
                options: SGMOptions = SGMOptions(),
-               engine: Optional[SGMEngine] = None) -> int:
-    """Stream frames until the server closes; returns frames processed."""
+               engine: Optional[SGMEngine] = None,
+               calib_every_frame: bool = False) -> int:
+    """Stream frames until the server closes; returns frames processed.
+
+    ``calib_every_frame``: request type 1 (image + calibration) for every
+    frame instead of only the first.  The firmware default is once (a
+    board's camera rig is fixed, tcp_perf_client.c:73-89), but a server
+    walking several *datasets* sends different calibrations per frame —
+    reusing the first one would silently mis-convert depth for the rest
+    (this is how the reference's own simulated client behaves,
+    client.py:54)."""
     engine = engine or SGMEngine(options)
     sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     sock.connect((host, port))
@@ -53,7 +62,8 @@ def run_client(host: str = "127.0.0.1", port: int = 5001,
         while frames < max_frames:
             # first frame needs calibration; later frames reuse it (the
             # firmware requests type 1 once, then type 2)
-            want = proto.REQ_IMG_CALIB if calib is None else proto.REQ_IMG
+            want = proto.REQ_IMG_CALIB \
+                if calib is None or calib_every_frame else proto.REQ_IMG
             sock.sendall(struct.pack("<B", want))
             header, new_calib, left_bgr, right_bgr = proto.recv_stereo_frame(sock)
             if header.type_id == proto.REQ_CLOSE:

@@ -1046,12 +1046,22 @@ def _census_cost_kernel(imgl_ref, imgr_ref, out_ref, *, rows: int, h: int,
     cl = census(imgl_ref)
     cr = census(imgr_ref)
 
-    for k, d in enumerate(range(dmin, dmax)):
-        shifted = _roll(cr, d, 1) if d % w else cr     # cr[j - d]
-        ham = _popcount32(cl ^ shifted)
-        oob = (lane - d < 0) | (lane - d >= w)
-        # int32 store: Mosaic rejects sublane-strided int8 stores
-        out_ref[0, :, k, :] = jnp.where(oob, 127, ham)
+    # 8-disparity slab stores: a single-d store touches one sublane per
+    # (8, 128) tile of the (rows, D, W) block — 8x write amplification.
+    # Building 8 planes in registers and storing a full (rows, 8, W) slab
+    # writes whole tiles.  (int32 stores: Mosaic rejects sublane-strided
+    # int8 stores; the uint8 narrowing happens in XLA.)
+    nd = dmax - dmin
+    for k0 in range(0, nd, 8):
+        kk = min(8, nd - k0)
+        planes = []
+        for k in range(k0, k0 + kk):
+            d = dmin + k
+            shifted = _roll(cr, d, 1) if d % w else cr     # cr[j - d]
+            ham = _popcount32(cl ^ shifted)
+            oob = (lane - d < 0) | (lane - d >= w)
+            planes.append(jnp.where(oob, 127, ham))
+        out_ref[0, :, k0:k0 + kk, :] = jnp.stack(planes, axis=1)
 
 
 @functools.partial(
