@@ -76,7 +76,7 @@ def run_config(name, w, h, d, batch, iters=4, tiled=False, dmin=0):
         engine = SGMEngine(opts, EngineConfig(use_pallas=True))
         match = engine._batched
 
-    dt_call, out0, compile_s = chained_match_time(
+    dt_call, out0, (compile_s, first_s) = chained_match_time(
         match, lefts, rights, iters=iters, return_compile=True)
     dt = dt_call / batch
     valid = float(np.isfinite(out0[0]).mean())
@@ -85,9 +85,14 @@ def run_config(name, w, h, d, batch, iters=4, tiled=False, dmin=0):
            "ms_per_frame": round(dt * 1e3, 2),
            "fps_per_chip": round(1.0 / dt, 1),
            "valid_frac": round(valid, 3),
-           "compile_s": round(compile_s, 1)}
+           # structural .lower().compile() wall time vs the first dispatch
+           # through the lazily-executing relay — kept separate so tunnel
+           # weather can't masquerade as compile time (BENCH_r02 lesson)
+           "compile_s": round(compile_s, 1),
+           "first_dispatch_s": round(first_s, 1)}
     log(f"{name}: {res['ms_per_frame']} ms/frame ({res['fps_per_chip']} fps)"
-        f" valid_frac={valid:.3f} compile={compile_s:.0f}s tiled={tiled}")
+        f" valid_frac={valid:.3f} compile={compile_s:.0f}s"
+        f" first_dispatch={first_s:.0f}s tiled={tiled}")
     return res
 
 

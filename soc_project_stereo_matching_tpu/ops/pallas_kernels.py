@@ -89,6 +89,7 @@ def _scan_group_kernel(
     out_ref, cout_cost_ref, cout_min_ref, wta_refs, carry_cost, carry_min,
     *, rows: int, d: int, w: int, rolls: Sequence[int], reverse: bool,
     p1: int, restart: bool, wta=None, p2_nsp: bool = False,
+    compute16: bool = False,
 ):
     """One (batch, row-chunk) grid step of a fused multi-direction DP scan.
 
@@ -102,7 +103,16 @@ def _scan_group_kernel(
     ``acc`` already carries every other direction's sum): once the chunk's
     rows are complete the WTA reduction planes are computed on the block
     while it is still VMEM-resident and written to ``wta_refs`` — saving
-    the separate WTA pass's full read of the aggregated volume."""
+    the separate WTA pass's full read of the aggregated volume.
+
+    ``compute16``: run the recurrence in int16 — every intermediate fits
+    (costs <= 127+border 127, ``cs & 0xFF`` <= 255, ``m`` <= 255+P2 <= 405,
+    8-path totals <= 2040), and packed (16, 128) vregs halve the per-step
+    vector-issue count of this op-count-bound kernel.  Bit-equal to the
+    int32 path by range analysis and tested so.  Plain scans only: the
+    cross-tile carry interface stays int32."""
+    cdt = jnp.int16 if compute16 else jnp.int32
+    sentinel = jnp.asarray(SENTINEL, cdt)
     chunk = pl.program_id(1)
 
     @pl.when(chunk == 0)
@@ -121,7 +131,7 @@ def _scan_group_kernel(
         row = rows - 1 - s if reverse else s
         # & 0xFF recovers the unsigned value: the volume rides as int8 for
         # DMA width, so uint8 costs >= 128 arrive bit-preserved but negative
-        cost_row = cost_ref[0, row].astype(jnp.int32) & 0xFF     # (D, W)
+        cost_row = cost_ref[0, row].astype(cdt) & 0xFF           # (D, W)
         total = None
         for k, roll in enumerate(rolls):
             prev = carry_cost[k]
@@ -136,12 +146,12 @@ def _scan_group_kernel(
             # aggregation kernel ~13% when it briefly became the only layout
             # (BENCH_r01 1.473 -> r02 1.665 ms/frame).
             if p2_nsp:
-                p2_row = p2_ref[0, k, pl.ds(row, 1)].astype(jnp.int32)
+                p2_row = p2_ref[0, k, pl.ds(row, 1)].astype(cdt)
             else:
-                p2_row = p2_ref[0, pl.ds(row, 1), k].astype(jnp.int32)
-            up = jnp.where(d_iota == 0, SENTINEL,
+                p2_row = p2_ref[0, pl.ds(row, 1), k].astype(cdt)
+            up = jnp.where(d_iota == 0, sentinel,
                            _roll(prev, 1, axis=0))          # L(p-r, d-1)
-            dn = jnp.where(d_iota == d - 1, SENTINEL,
+            dn = jnp.where(d_iota == d - 1, sentinel,
                            _roll(prev, -1, axis=0))         # L(p-r, d+1)
             # min(up, dn) + P1 folds the two penalty adds into one
             m = jnp.minimum(jnp.minimum(prev, jnp.minimum(up, dn) + p1),
@@ -151,10 +161,20 @@ def _scan_group_kernel(
                 lane = 0 if roll > 0 else w - 1
                 cs = jnp.where(lane_iota == lane, cost_row, cs)
             carry_cost[k] = cs
-            carry_min[k] = jnp.min(cs, axis=0, keepdims=True)
+            if compute16:
+                # Mosaic has no int16 reductions: circular doubling tree —
+                # after shifts 1,2,4,... covering >= d, every sublane holds
+                # the global min; stays in packed (16, 128) vregs
+                cm, shift = cs, 1
+                while shift < d:
+                    cm = jnp.minimum(cm, _roll(cm, shift, axis=0))
+                    shift *= 2
+                carry_min[k] = cm[0:1]
+            else:
+                carry_min[k] = jnp.min(cs, axis=0, keepdims=True)
             total = cs if total is None else total + cs
         if acc_ref is not None:
-            total = total + acc_ref[0, row].astype(jnp.int32)
+            total = total + acc_ref[0, row].astype(cdt)
         out_ref[0, row] = total.astype(jnp.uint16)
         return ()
 
@@ -188,6 +208,7 @@ def _directional_scan_group(
     carry_in=None,           # (cost (B, n, D, P), min (B, n, 1, P)) int32
     want_carry: bool = False,
     wta=None,                # (dmin, include_inverse): emit WTA planes
+    compute16: bool = False,
 ):
     """Fused multi-direction DP scan; returns the (B, S, D, P) uint16 sum of
     the group's direction contributions (added onto ``acc`` when given), and
@@ -198,6 +219,9 @@ def _directional_scan_group(
     b, s, d, p = cost.shape
     n = len(rolls)
     has_carry = carry_in is not None or want_carry
+    # the cross-tile carry interface is int32; int16 is a plain-scan-only
+    # optimisation (see _scan_group_kernel docstring)
+    compute16 = compute16 and not has_carry
     if has_carry:
         # no scan-axis padding allowed: pick a divisor chunk size
         block_rows = _divisor_block_rows(s, d, p, block_rows)
@@ -222,7 +246,7 @@ def _directional_scan_group(
     base = functools.partial(
         _scan_group_kernel,
         rows=block_rows, d=d, w=p, rolls=tuple(rolls), reverse=reverse,
-        p1=p1, restart=restart, wta=wta, p2_nsp=p2_nsp,
+        p1=p1, restart=restart, wta=wta, p2_nsp=p2_nsp, compute16=compute16,
     )
     n_wta = 0 if wta is None else (10 if wta[1] else 5)
 
@@ -301,8 +325,8 @@ def _directional_scan_group(
         out_specs=out_specs if multi_out else out_specs[0],
         out_shape=out_shapes if multi_out else out_shapes[0],
         scratch_shapes=[
-            pltpu.VMEM((n, d, p), jnp.int32),
-            pltpu.VMEM((n, 1, p), jnp.int32),
+            pltpu.VMEM((n, d, p), jnp.int16 if compute16 else jnp.int32),
+            pltpu.VMEM((n, 1, p), jnp.int16 if compute16 else jnp.int32),
         ],
         input_output_aliases=io_aliases,
         compiler_params=_VMEM_PARAMS,

@@ -99,7 +99,14 @@ def chained_match_time(match_fn: Callable, left, right, iters: int = 32,
     single-frame latencies are not swamped by tunnel RTT.  Both ends of
     the difference take the min over ``repeats`` runs: the RTT has
     hundreds of ms of variance, which would otherwise drown small-frame
-    compute deltas (observed: negative differences on the cone pair)."""
+    compute deltas (observed: negative differences on the cone pair).
+
+    ``return_compile=True`` additionally returns timing attribution as a
+    ``(compile_s, first_dispatch_s)`` pair: the chain is AOT-compiled via
+    ``.lower().compile()`` so the *structural* XLA+Mosaic compile time is
+    separated from the first dispatch through the (lazily-executing,
+    weather-prone) device relay — conflating the two is how a 25 s
+    compile was once recorded as "969 s" (BENCH_r02 post-mortem)."""
     import numpy as np
 
     iters = max(iters, 2)                  # the RTT-cancelling difference
@@ -122,16 +129,29 @@ def chained_match_time(match_fn: Callable, left, right, iters: int = 32,
     left = jnp.asarray(left, jnp.uint8)
     right = jnp.asarray(right, jnp.uint8)
 
+    if return_compile:
+        # AOT compile so the executable is built exactly once and the
+        # compile wall time contains no dispatch; all timed calls below go
+        # through the same Compiled object (n is a runtime int32 scalar, so
+        # one executable serves every chain length).
+        t0 = time.perf_counter()
+        compiled = chain.lower(left, right, jnp.int32(0)).compile()
+        compile_s = time.perf_counter() - t0
+        run = lambda n: compiled(left, right, jnp.int32(n))
+    else:
+        compile_s = None
+        run = lambda n: chain(left, right, jnp.int32(n))
+
     t0 = time.perf_counter()
-    _, out0 = chain(left, right, 1)        # warm-up / compile
+    _, out0 = run(1)                       # warm-up (first dispatch)
     disp = np.asarray(out0)                # fetch forces execution
-    compile_s = time.perf_counter() - t0
+    first_dispatch_s = time.perf_counter() - t0
 
     def timed(n):
         best = float("inf")
         for _ in range(max(repeats, 1)):
             t0 = time.perf_counter()
-            _, out = chain(left, right, n)
+            _, out = run(n)
             jax.device_get(jnp.ravel(out)[0])
             best = min(best, time.perf_counter() - t0)
         return best
@@ -146,7 +166,7 @@ def chained_match_time(match_fn: Callable, left, right, iters: int = 32,
         # the honest failure direction; never report absurdly small times)
         per_call = tn / iters
     if return_compile:
-        return per_call, disp, compile_s
+        return per_call, disp, (compile_s, first_dispatch_s)
     return per_call, disp
 
 

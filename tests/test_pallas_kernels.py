@@ -235,3 +235,21 @@ def test_aggregation_kernel_full_uint8_cost_domain():
     want = np.asarray(aggregation.aggregate_paths(cost, img, opt))
     got = np.asarray(pk.aggregate_paths(cost, img, opt, block_rows=8))
     np.testing.assert_array_equal(want, got)
+
+
+def test_scan_group_int16_compute_bit_equal():
+    # the packed-int16 recurrence must match int32 over the FULL uint8 cost
+    # domain: max intermediates are cs <= 255, m <= 255, cost+m-pmin <= 510,
+    # 8-path totals <= 2040 — all within int16 (see _scan_group_kernel)
+    hp = pk._round_up(H, 8)            # plain scans need a padded scan axis
+    cost = jnp.asarray(RNG.integers(0, 256, (2, H, D, W), dtype=np.uint8)
+                       ).astype(jnp.int8)
+    cost = jnp.pad(cost, ((0, 0), (0, hp - H), (0, 0), (0, 0)))
+    img = jnp.asarray(RNG.integers(0, 256, (2, H, W)).astype(np.int32))
+    for rolls, rev in (((0, 1, -1), False), ((0, -1, 1), True), ((0,), True)):
+        p2 = pk._p2_planes(img, rolls, -1 if rev else +1, 10, 150)
+        p2 = jnp.pad(p2, ((0, 0), (0, hp - H), (0, 0), (0, 0)))
+        args = (cost, p2, None, rolls, rev, 10, False, 8)
+        want = np.asarray(pk._directional_scan_group(*args))
+        got = np.asarray(pk._directional_scan_group(*args, compute16=True))
+        np.testing.assert_array_equal(want, got)
