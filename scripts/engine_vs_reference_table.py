@@ -149,6 +149,13 @@ def main():
         "engine": f"TPU SGM engine, D={args.engine_dmax}, reference CLI "
                   "options otherwise",
         "rows": rows,
+        # fps here is the server's round-trip rate through the localhost TCP
+        # loop: an ACCURACY harness artifact, not a throughput number.  The
+        # engine side pays one tunnelled-relay dispatch (~hundreds of ms)
+        # plus a cold jit per frame; engine throughput is bench.py's
+        # chained-timing headline (and the streaming bench for 720p).
+        "fps_note": "round-trip rate incl. socket+relay overhead; see "
+                    "bench.py for engine throughput",
         "sgbm_fps": sgbm.get("fps"),
         "engine_fps": engine.get("fps"),
     }, indent=2))

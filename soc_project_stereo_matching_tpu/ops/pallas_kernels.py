@@ -380,13 +380,15 @@ def _p2_planes(img: jnp.ndarray, rolls: Sequence[int], axis_prev: int,
     return jnp.stack(planes, axis=-2).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("options", "diagonal_mode", "block_rows"))
+@functools.partial(jax.jit, static_argnames=(
+    "options", "diagonal_mode", "block_rows", "compute16"))
 def aggregate_paths(
     cost: jnp.ndarray,
     img_left: jnp.ndarray,
     options: SGMOptions,
     diagonal_mode: str = "wrap",
     block_rows: int = 32,
+    compute16: bool = False,
 ) -> jnp.ndarray:
     """Pallas multi-path aggregation, bit-equal to ``aggregation.aggregate_paths``.
 
@@ -414,19 +416,21 @@ def aggregate_paths(
     pad_p2 = ((0, 0), (0, hp - h), (0, 0), (0, 0))
     part_v = _directional_scan_group(
         cost_v, jnp.pad(p2_f, pad_p2), None, v_rolls_f, False, p1, restart,
-        block_rows)
+        block_rows, compute16=compute16)
     part_v = _directional_scan_group(
         cost_v, jnp.pad(p2_b, pad_p2), part_v, v_rolls_b, True, p1, restart,
-        block_rows)[:, :h]
+        block_rows, compute16=compute16)[:, :h]
 
-    part_h = horizontal_partial(cost8, img, p1, p2i, restart, block_rows)
+    part_h = horizontal_partial(cost8, img, p1, p2i, restart, block_rows,
+                                compute16=compute16)
 
     out = part_v + part_h
     return out[0] if unbatched else out
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "options", "diagonal_mode", "block_rows", "include_inverse"))
+    "options", "diagonal_mode", "block_rows", "include_inverse",
+    "compute16"))
 def aggregate_paths_wta(
     cost: jnp.ndarray,
     img_left: jnp.ndarray,
@@ -434,6 +438,7 @@ def aggregate_paths_wta(
     diagonal_mode: str = "wrap",
     block_rows: int = 32,
     include_inverse: bool = True,
+    compute16: bool = False,
 ):
     """Fused aggregation + WTA: the horizontal passes run first, the two
     vertical group launches accumulate onto them (io-aliased), and the
@@ -474,7 +479,8 @@ def aggregate_paths_wta(
     hp = _round_up(h, block_rows)
     pad_vol = ((0, 0), (0, hp - h), (0, 0), (0, 0))
 
-    part_h = horizontal_partial(cost8, img, p1, p2i, restart, block_rows)
+    part_h = horizontal_partial(cost8, img, p1, p2i, restart, block_rows,
+                                compute16=compute16)
 
     v_rolls_f = (0, 1, -1) if options.num_paths == 8 else (0,)
     v_rolls_b = (0, -1, 1) if options.num_paths == 8 else (0,)
@@ -485,10 +491,11 @@ def aggregate_paths_wta(
 
     part = _directional_scan_group(
         cost_v, jnp.pad(p2_f, pad_p2), jnp.pad(part_h, pad_vol),
-        v_rolls_f, False, p1, restart, block_rows)
+        v_rolls_f, False, p1, restart, block_rows, compute16=compute16)
     _, planes = _directional_scan_group(
         cost_v, jnp.pad(p2_b, pad_p2), part, v_rolls_b, True, p1, restart,
-        block_rows, wta=(options.min_disparity, include_inverse))
+        block_rows, wta=(options.min_disparity, include_inverse),
+        compute16=compute16)
 
     def crop(x):
         x = x[:, :h]
@@ -502,7 +509,8 @@ def aggregate_paths_wta(
 
 def horizontal_partial(cost8: jnp.ndarray, img: jnp.ndarray, p1: int,
                        p2_init: int, restart: bool,
-                       block_rows: int = 32) -> jnp.ndarray:
+                       block_rows: int = 32,
+                       compute16: bool = False) -> jnp.ndarray:
     """Both horizontal passes on the (W, D, H) view; tile-local in the
     H-sharded layout, so parallel/tiles.py reuses it verbatim.
 
@@ -518,10 +526,10 @@ def horizontal_partial(cost8: jnp.ndarray, img: jnp.ndarray, p1: int,
     pad_p2t = ((0, 0), (0, wp - w), (0, 0), (0, 0))
     part_h = _directional_scan_group(
         cost_t, jnp.pad(p2_hf, pad_p2t), None, (0,), False, p1, restart,
-        block_rows)
+        block_rows, compute16=compute16)
     part_h = _directional_scan_group(
         cost_t, jnp.pad(p2_hb, pad_p2t), part_h, (0,), True, p1, restart,
-        block_rows)[:, :w]
+        block_rows, compute16=compute16)[:, :w]
     return part_h.transpose(0, 3, 2, 1)
 
 

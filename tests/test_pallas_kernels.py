@@ -65,10 +65,12 @@ def test_wta_kernel_parity(data):
         np.asarray(wta.compute_disparity(aggr, opt, inverse=False)))
 
 
+@pytest.mark.parametrize("compute16", [False, True])
 @pytest.mark.parametrize("mode", ["wrap", "restart"])
-def test_fused_aggregation_wta_parity(data, mode):
+def test_fused_aggregation_wta_parity(data, mode, compute16):
     """aggregate_paths_wta (WTA planes emitted by the final DP launch) ==
-    aggregate_paths + wta_reduce_pallas, both views, batched+unbatched."""
+    aggregate_paths + wta_reduce_pallas, both views, batched+unbatched;
+    also covers the packed-int16 recurrence end to end."""
     cost, img = data
     opt = SGMOptions(max_disparity=D)
     costb = jnp.stack([cost, cost[::-1]])
@@ -76,7 +78,8 @@ def test_fused_aggregation_wta_parity(data, mode):
     aggr = pk.aggregate_paths(costb, imgb, opt, mode, block_rows=8)
     want_f, want_i = pk.wta_reduce_pallas(aggr, opt, True, block_rows=8)
     got_f, got_i = pk.aggregate_paths_wta(costb, imgb, opt, mode,
-                                          block_rows=8)
+                                          block_rows=8,
+                                          compute16=compute16)
     for a, b in zip(want_f, got_f):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(want_i, got_i):
