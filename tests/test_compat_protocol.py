@@ -97,6 +97,40 @@ def test_compat_server_with_engine_client(reference_dir, tmp_path):
     assert m["n_valid"] > 0 and np.isfinite(m["rmse_mm"]) and stats["fps"] > 0
 
 
+def test_client_per_frame_calibration(reference_dir, tmp_path):
+    """A server walking several datasets sends a different calibration per
+    frame; the firmware-style request pattern (type 1 once, then type 2)
+    silently converts later frames' depth with the FIRST dataset's
+    calibration.  ``calib_every_frame=True`` must fix that: the second
+    dataset's depth error drops vs the stale-calib run.  (cone is 450 px
+    wide, Cloth3 626 px — after the server rescales both to 320 the two
+    fx/doffs differ by ~1.4x, so the stale conversion is badly off.)"""
+    data = reference_dir / "SemiGlobalMatching" / "Data"
+    opts = SGMOptions(max_disparity=48, is_remove_speckles=False)
+    rmse2 = {}
+    for per_frame in (False, True):
+        stats_dir = tmp_path / f"per_frame_{per_frame}"
+        stats_dir.mkdir()
+        server = CompatServer([data / "cone", data / "Cloth3"],
+                              host="127.0.0.1", port=0,
+                              width=320, height=240, stats_dir=stats_dir)
+        port = server.start()
+        try:
+            frames = run_client("127.0.0.1", port, max_frames=5,
+                                options=opts, calib_every_frame=per_frame)
+            assert frames == 2
+        finally:
+            time.sleep(0.2)
+            server.stop()
+        stats = json.loads(next(iter(stats_dir.glob("127.0.0.1_*.txt")))
+                           .read_text())
+        assert stats["total_frames"] == 2
+        second = next(m for m in stats["measurements"] if m["seq"] == 1)
+        assert second["n_valid"] > 0
+        rmse2[per_frame] = second["rmse_mm"]
+    assert rmse2[True] < rmse2[False], rmse2
+
+
 # ---------------------------------------------------------------------------
 # End-to-end: UNMODIFIED reference server <-> our TPU-engine client
 # ---------------------------------------------------------------------------
