@@ -109,8 +109,9 @@ def _scan_group_kernel(
     (costs <= 127+border 127, ``cs & 0xFF`` <= 255, ``m`` <= 255+P2 <= 405,
     8-path totals <= 2040), and packed (16, 128) vregs halve the per-step
     vector-issue count of this op-count-bound kernel.  Bit-equal to the
-    int32 path by range analysis and tested so.  Plain scans only: the
-    cross-tile carry interface stays int32."""
+    int32 path by range analysis and tested so.  The cross-tile carry
+    interface (cin/cout refs) stays int32 — carry values are <= 255, so
+    the in-kernel narrowing/widening casts are lossless."""
     cdt = jnp.int16 if compute16 else jnp.int32
     sentinel = jnp.asarray(SENTINEL, cdt)
     chunk = pl.program_id(1)
@@ -121,8 +122,10 @@ def _scan_group_kernel(
             carry_cost[...] = jnp.zeros_like(carry_cost)
             carry_min[...] = jnp.zeros_like(carry_min)
         else:
-            carry_cost[...] = cin_cost_ref[0]
-            carry_min[...] = cin_min_ref[0]
+            # the cross-tile carry interface stays int32 (values <= 255,
+            # so the narrowing cast is lossless)
+            carry_cost[...] = cin_cost_ref[0].astype(carry_cost.dtype)
+            carry_min[...] = cin_min_ref[0].astype(carry_min.dtype)
 
     d_iota = jax.lax.broadcasted_iota(jnp.int32, (d, w), 0)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (d, w), 1)
@@ -182,8 +185,8 @@ def _scan_group_kernel(
 
     if cout_cost_ref is not None:
         # same output block every chunk -> the last chunk's state survives
-        cout_cost_ref[0] = carry_cost[...]
-        cout_min_ref[0] = carry_min[...]
+        cout_cost_ref[0] = carry_cost[...].astype(cout_cost_ref.dtype)
+        cout_min_ref[0] = carry_min[...].astype(cout_min_ref.dtype)
 
     if wta is not None:
         dmin, include_inverse = wta
@@ -219,9 +222,6 @@ def _directional_scan_group(
     b, s, d, p = cost.shape
     n = len(rolls)
     has_carry = carry_in is not None or want_carry
-    # the cross-tile carry interface is int32; int16 is a plain-scan-only
-    # optimisation (see _scan_group_kernel docstring)
-    compute16 = compute16 and not has_carry
     if has_carry:
         # no scan-axis padding allowed: pick a divisor chunk size
         block_rows = _divisor_block_rows(s, d, p, block_rows)
@@ -348,11 +348,13 @@ def _directional_scan_group(
 
 
 def directional_scan_group(cost, p2, acc, rolls, reverse, p1, restart,
-                           block_rows=32, carry_in=None, want_carry=False):
+                           block_rows=32, carry_in=None, want_carry=False,
+                           compute16=False):
     """Public carry-aware entry point for parallel/tiles.py; see
     ``_directional_scan_group``."""
     return _directional_scan_group(cost, p2, acc, rolls, reverse, p1,
-                                   restart, block_rows, carry_in, want_carry)
+                                   restart, block_rows, carry_in, want_carry,
+                                   compute16=compute16)
 
 
 def _p2_planes(img: jnp.ndarray, rolls: Sequence[int], axis_prev: int,

@@ -256,3 +256,20 @@ def test_scan_group_int16_compute_bit_equal():
         want = np.asarray(pk._directional_scan_group(*args))
         got = np.asarray(pk._directional_scan_group(*args, compute16=True))
         np.testing.assert_array_equal(want, got)
+
+    # carry-aware scans: int16 compute behind the int32 carry interface
+    rolls = (0, 1, -1)
+    p2 = jnp.pad(pk._p2_planes(img, rolls, +1, 10, 150),
+                 ((0, 0), (0, hp - H), (0, 0), (0, 0)))
+    cin = (jnp.asarray(RNG.integers(0, 256, (2, 3, D, W)).astype(np.int32)),
+           jnp.asarray(RNG.integers(0, 256, (2, 3, 1, W)).astype(np.int32)))
+    for kwargs in ({"carry_in": cin, "want_carry": True},
+                   {"want_carry": True}):
+        w32 = pk._directional_scan_group(cost, p2, None, rolls, False, 10,
+                                         False, 8, **kwargs)
+        w16 = pk._directional_scan_group(cost, p2, None, rolls, False, 10,
+                                         False, 8, compute16=True, **kwargs)
+        np.testing.assert_array_equal(np.asarray(w32[0]), np.asarray(w16[0]))
+        for a, b in zip(w32[1], w16[1]):
+            assert a.dtype == b.dtype == jnp.int32
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
