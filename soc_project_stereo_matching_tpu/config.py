@@ -114,6 +114,11 @@ class EngineConfig:
     #  'restart' : standard SGM — paths restart at image edges
     diagonal_mode: str = "wrap"
 
+    # Run the DP-scan recurrence in packed int16 vregs (bit-equal by range
+    # analysis + tests, see ops/pallas_kernels._scan_group_kernel).  Only
+    # affects the Pallas path.
+    compute16: bool = False
+
     def __post_init__(self) -> None:
         if self.tile_mode not in ("none", "exact", "pipelined", "local"):
             raise ValueError(f"unknown tile_mode {self.tile_mode!r}")

@@ -28,13 +28,15 @@ from ..ops.postprocess import (lr_check, median_filter_3x3,
 from ..ops.wta import compute_disparity, finalize_disparity
 
 
-@functools.partial(jax.jit, static_argnames=("options", "diagonal_mode", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=(
+    "options", "diagonal_mode", "use_pallas", "compute16"))
 def sgm_forward(
     img_left: jnp.ndarray,
     img_right: jnp.ndarray,
     options: SGMOptions,
     diagonal_mode: str = "wrap",
     use_pallas: bool = False,
+    compute16: bool = False,
 ) -> jnp.ndarray:
     """uint8 (..., H, W) stereo pair -> float32 (..., H, W) disparity
     (+inf invalid).  Accepts an optional leading batch dimension."""
@@ -47,7 +49,7 @@ def sgm_forward(
         # planes from VMEM, so the volume is never re-read by a WTA pass
         fwd, inv = pk.aggregate_paths_wta(
             cost, img_left, options, diagonal_mode,
-            include_inverse=options.is_check_lr)
+            include_inverse=options.is_check_lr, compute16=compute16)
         disp = finalize_disparity(fwd, options)
         if options.is_check_lr:
             disp = pk.lr_check_pallas(disp, finalize_disparity(inv, options),
@@ -121,7 +123,8 @@ class SGMEngine:
         self._tiled = {}
         self._batched = jax.jit(
             lambda l, r: sgm_forward(
-                l, r, options, self._diag_mode(), self._use_pallas()
+                l, r, options, self._diag_mode(), self._use_pallas(),
+                self.config.compute16,
             )
         )
 
@@ -139,6 +142,7 @@ class SGMEngine:
             self.options,
             self._diag_mode(),
             self._use_pallas(),
+            self.config.compute16,
         )
 
     def match_batch(self, imgs_left, imgs_right) -> jax.Array:

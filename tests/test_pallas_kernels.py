@@ -212,9 +212,12 @@ def test_full_pipeline_pallas_vs_jnp():
     il = jnp.asarray(RNG.integers(0, 256, (2, H, W), dtype=np.uint8))
     ir = jnp.asarray(RNG.integers(0, 256, (2, H, W), dtype=np.uint8))
     want = np.asarray(sgm_forward(il, ir, opt, use_pallas=False))
-    got = np.asarray(sgm_forward(il, ir, opt, use_pallas=True))
-    both_inf = np.isinf(want) & np.isinf(got)
-    assert ((np.isinf(want) == np.isinf(got)) & (both_inf | (want == got))).all()
+    for compute16 in (False, True):
+        got = np.asarray(sgm_forward(il, ir, opt, use_pallas=True,
+                                     compute16=compute16))
+        both_inf = np.isinf(want) & np.isinf(got)
+        assert ((np.isinf(want) == np.isinf(got))
+                & (both_inf | (want == got))).all()
 
 
 def test_auto_block_rows_shrinks_for_large_volumes():
