@@ -160,6 +160,7 @@ class SGMEngine:
                     cross_tile=self.config.tile_mode,
                     diagonal_mode=self._diag_mode(),
                     use_pallas=self._use_pallas(),
+                    compute16=self.config.compute16,
                 )
             return self._tiled[key](lefts, rights)
         return self._batched(lefts, rights)

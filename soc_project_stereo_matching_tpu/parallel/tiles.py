@@ -304,7 +304,7 @@ def _zero_group_carry(b: int, n: int, d: int, w: int):
 
 
 def _group_scan_chained_pallas(cost8, p2, rolls, reverse, p1, restart,
-                               axis_name, k):
+                               axis_name, k, compute16=False):
     """K-round chained exact scan of one fused direction group (the Pallas
     counterpart of ``_chained_scan``, 3 directions per launch)."""
     from ..ops import pallas_kernels as pk
@@ -316,13 +316,14 @@ def _group_scan_chained_pallas(cost8, p2, rolls, reverse, p1, restart,
 
     out, carry = pk.directional_scan_group(
         cost8, p2, None, rolls, reverse, p1, restart,
-        carry_in=_zero_group_carry(b, n, d, w), want_carry=True)
+        carry_in=_zero_group_carry(b, n, d, w), want_carry=True,
+        compute16=compute16)
     first = jnp.int32(k - 1) if reverse else jnp.int32(0)
     for step in range(1, k):
         cin = tuple(jax.lax.ppermute(c, axis_name, perm) for c in carry)
         out_c, carry_c = pk.directional_scan_group(
             cost8, p2, None, rolls, reverse, p1, restart,
-            carry_in=cin, want_carry=True)
+            carry_in=cin, want_carry=True, compute16=compute16)
         mine = my == (first + (-step if reverse else step))
         out = jnp.where(mine, out_c, out)
         carry = tuple(jnp.where(mine, cc, c)
@@ -331,7 +332,7 @@ def _group_scan_chained_pallas(cost8, p2, rolls, reverse, p1, restart,
 
 
 def _group_scan_pipelined_pallas(cost8, p2, rolls, reverse, p1, restart,
-                                 axis_name, k, num_micro):
+                                 axis_name, k, num_micro, compute16=False):
     """Microbatch-wavefront exact scan of one fused direction group (the
     Pallas counterpart of ``_pipelined_scan``)."""
     from ..ops import pallas_kernels as pk
@@ -355,7 +356,7 @@ def _group_scan_pipelined_pallas(cost8, p2, rolls, reverse, p1, restart,
         p2mb = jax.lax.dynamic_slice_in_dim(p2, mc, mb, axis=0)
         contrib, carry_out = pk.directional_scan_group(
             cmb, p2mb, None, rolls, reverse, p1, restart,
-            carry_in=carry, want_carry=True)
+            carry_in=carry, want_carry=True, compute16=compute16)
         active = (m >= 0) & (m < num_micro)
         cur = jax.lax.dynamic_slice_in_dim(out, mc, mb, axis=0)
         out = jax.lax.dynamic_update_slice_in_dim(
@@ -375,6 +376,7 @@ def _tiled_forward_batch_pallas(
     cross_tile: str,
     diagonal_mode: str,
     num_micro: int,
+    compute16: bool = False,
 ) -> jnp.ndarray:
     """Full Pallas pipeline on (B_local, Ht, W) tile batches: fused
     census+cost with explicit cross-tile halo, fused direction-group DP
@@ -406,7 +408,8 @@ def _tiled_forward_batch_pallas(
     # --- aggregation ------------------------------------------------------
     cost8 = cost.astype(jnp.int8)
     img = lefts.astype(jnp.int32)
-    part = pk.horizontal_partial(cost8, img, p1, p2i, restart)
+    part = pk.horizontal_partial(cost8, img, p1, p2i, restart,
+                                 compute16=compute16)
 
     v_rolls_f = (0, 1, -1) if options.num_paths == 8 else (0,)
     v_rolls_b = (0, -1, 1) if options.num_paths == 8 else (0,)
@@ -425,14 +428,15 @@ def _tiled_forward_batch_pallas(
         if cross_tile == "local" or k == 1:
             contrib = pk.directional_scan_group(
                 cost8, p2, None, rolls, reverse, p1, restart,
-                want_carry=True)[0]
+                want_carry=True, compute16=compute16)[0]
         elif cross_tile == "pipelined":
             contrib = _group_scan_pipelined_pallas(
                 cost8, p2, rolls, reverse, p1, restart, axis_name, k,
-                num_micro)
+                num_micro, compute16)
         else:
             contrib = _group_scan_chained_pallas(
-                cost8, p2, rolls, reverse, p1, restart, axis_name, k)
+                cost8, p2, rolls, reverse, p1, restart, axis_name, k,
+                compute16)
         part = part + contrib
     aggr = part.astype(jnp.uint16)
 
@@ -488,6 +492,7 @@ def make_tiled_matcher(
     diagonal_mode: str = "wrap",
     num_micro: int = 0,
     use_pallas: bool = False,
+    compute16: bool = False,
 ):
     """Build a jitted (B, H, W) x2 -> (B, H, W) matcher sharded over the
     mesh: batch across 'data', rows across 'tile'.
@@ -510,7 +515,7 @@ def make_tiled_matcher(
             nm = num_micro if num_micro > 0 else lefts.shape[0]
             return _tiled_forward_batch_pallas(
                 lefts, rights, options, "tile", k, h, cross_tile,
-                diagonal_mode, nm)
+                diagonal_mode, nm, compute16)
     elif cross_tile == "pipelined":
         def local_fn(lefts, rights):
             nm = num_micro if num_micro > 0 else lefts.shape[0]

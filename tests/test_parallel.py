@@ -127,12 +127,14 @@ def test_engine_tiled_mesh_matches_single_device():
             & (both_inf | (single == tiled))).all()
 
 
+@pytest.mark.parametrize("compute16", [False, True])
 @pytest.mark.parametrize("cross_tile", ["exact", "pipelined", "local"])
-def test_pallas_tiled_matches_single_device(cross_tile):
+def test_pallas_tiled_matches_single_device(cross_tile, compute16):
     """The Pallas tiled path (fused census+cost with halo, carry-in/out DP
     group scans, Pallas WTA/speckle) is bit-identical to the single-device
     engine in the exact modes, and self-consistently approximate in local
-    mode.  Runs the kernels in interpret mode on the CPU mesh."""
+    mode.  Runs the kernels in interpret mode on the CPU mesh; also covers
+    the packed-int16 recurrence behind the int32 cross-tile carries."""
     from soc_project_stereo_matching_tpu import SGMOptions
     from soc_project_stereo_matching_tpu.models.sgm import SGMEngine
     from soc_project_stereo_matching_tpu.parallel.mesh import make_mesh
@@ -147,7 +149,8 @@ def test_pallas_tiled_matches_single_device(cross_tile):
     single = np.asarray(SGMEngine(opts).match_batch(lefts, rights))
     mesh = make_mesh(data=2, tile=4)
     matcher = make_tiled_matcher(opts, mesh, 16, 64, cross_tile=cross_tile,
-                                 num_micro=2, use_pallas=True)
+                                 num_micro=2, use_pallas=True,
+                                 compute16=compute16)
     got = np.asarray(matcher(lefts, rights))
 
     if cross_tile == "local":
