@@ -357,6 +357,15 @@ def directional_scan_group(cost, p2, acc, rolls, reverse, p1, restart,
                                    compute16=compute16)
 
 
+def int16_safe(p1: int, p2_init: int) -> bool:
+    """Whether the packed-int16 recurrence cannot overflow for these
+    penalties.  Worst-case intermediates: ``min(up, dn) + p1 <= 255 + p1``
+    and ``pmin + p2_row <= 255 + max(p1, p2_init)`` (see
+    ``_scan_group_kernel``); everything else is <= 2040.  Reference-scale
+    penalties (10/150) pass with orders of magnitude to spare."""
+    return max(p1, p2_init) + 512 <= 32767
+
+
 def _p2_planes(img: jnp.ndarray, rolls: Sequence[int], axis_prev: int,
                p1: int, p2_init: int,
                prev_row: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -404,6 +413,7 @@ def aggregate_paths(
         img_left = img_left[None]
     b, h, d, w = cost.shape
     p1, p2i = options.p1, options.p2_init
+    compute16 = compute16 and int16_safe(p1, p2i)
     img = img_left.astype(jnp.int32)
 
     cost8 = cost.astype(jnp.int8)  # values <= 127 + border 127: exact
@@ -475,6 +485,7 @@ def aggregate_paths_wta(
                     WTAPlanes(*(x[0] for x in inv)) if inv else None)
         return fwd, inv
     p1, p2i = options.p1, options.p2_init
+    compute16 = compute16 and int16_safe(p1, p2i)
     img = img_left.astype(jnp.int32)
 
     cost8 = cost.astype(jnp.int8)
@@ -519,6 +530,7 @@ def horizontal_partial(cost8: jnp.ndarray, img: jnp.ndarray, p1: int,
     cost8: (B, H, D, W) int8; img: (B, H, W) int32.
     Returns the (B, H, D, W) uint16 sum of the two horizontal directions."""
     b, h, d, w = cost8.shape
+    compute16 = compute16 and int16_safe(p1, p2_init)
     wp = _round_up(w, block_rows)
     cost_t = jnp.pad(cost8.transpose(0, 3, 2, 1),
                      ((0, 0), (0, wp - w), (0, 0), (0, 0)))

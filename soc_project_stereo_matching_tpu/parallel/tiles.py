@@ -387,6 +387,7 @@ def _tiled_forward_batch_pallas(
     b, ht, w = lefts.shape
     restart = diagonal_mode == "restart"
     p1, p2i = options.p1, options.p2_init
+    compute16 = compute16 and pk.int16_safe(p1, p2i)
     dmin, dmax = options.min_disparity, options.max_disparity
 
     # --- fused census + cost with neighbour-halo rows ---------------------

@@ -260,6 +260,21 @@ def test_scan_group_int16_compute_bit_equal():
         got = np.asarray(pk._directional_scan_group(*args, compute16=True))
         np.testing.assert_array_equal(want, got)
 
+    # int16 must be refused when the penalties could overflow it: with
+    # p2_init ~40000 the pmin+P2 intermediate exceeds int16, so the gate
+    # must fall back to int32 and stay bit-exact (int16 would wrap here
+    # even in interpret mode, so this asserts the gate, not luck)
+    assert not pk.int16_safe(10, 40_000)
+    big = SGMOptions(max_disparity=D, p2_init=40_000)
+    costu8 = (np.asarray(cost[:, :H]).astype(np.int32) & 0xFF
+              ).astype(np.uint8)
+    want_big = np.asarray(aggregation.aggregate_paths(
+        jnp.asarray(costu8[0]), jnp.asarray(img[0], jnp.uint8), big))
+    got_big = np.asarray(pk.aggregate_paths(
+        jnp.asarray(costu8[0]), jnp.asarray(img[0], jnp.uint8), big,
+        block_rows=8, compute16=True))
+    np.testing.assert_array_equal(want_big, got_big)
+
     # carry-aware scans: int16 compute behind the int32 carry interface
     rolls = (0, 1, -1)
     p2 = jnp.pad(pk._p2_planes(img, rolls, +1, 10, 150),
