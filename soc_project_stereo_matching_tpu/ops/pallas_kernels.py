@@ -89,7 +89,7 @@ def _scan_group_kernel(
     out_ref, cout_cost_ref, cout_min_ref, wta_refs, carry_cost, carry_min,
     *, rows: int, d: int, w: int, rolls: Sequence[int], reverse: bool,
     p1: int, restart: bool, wta=None, p2_nsp: bool = False,
-    compute16: bool = False,
+    compute16: bool = False, unroll: int = 1,
 ):
     """One (batch, row-chunk) grid step of a fused multi-direction DP scan.
 
@@ -181,7 +181,8 @@ def _scan_group_kernel(
         out_ref[0, row] = total.astype(jnp.uint16)
         return ()
 
-    jax.lax.fori_loop(0, rows, step, (), unroll=False)
+    jax.lax.fori_loop(0, rows, step, (),
+                      unroll=unroll if unroll > 1 else False)
 
     if cout_cost_ref is not None:
         # same output block every chunk -> the last chunk's state survives
@@ -212,6 +213,7 @@ def _directional_scan_group(
     want_carry: bool = False,
     wta=None,                # (dmin, include_inverse): emit WTA planes
     compute16: bool = False,
+    unroll: int = 1,         # scan-step software unroll (A/B knob)
 ):
     """Fused multi-direction DP scan; returns the (B, S, D, P) uint16 sum of
     the group's direction contributions (added onto ``acc`` when given), and
@@ -247,6 +249,7 @@ def _directional_scan_group(
         _scan_group_kernel,
         rows=block_rows, d=d, w=p, rolls=tuple(rolls), reverse=reverse,
         p1=p1, restart=restart, wta=wta, p2_nsp=p2_nsp, compute16=compute16,
+        unroll=unroll,
     )
     n_wta = 0 if wta is None else (10 if wta[1] else 5)
 
