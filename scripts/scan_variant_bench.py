@@ -1,0 +1,115 @@
+"""A/B harness for DP-scan kernel variants on real TPU.
+
+Times the fused 3-direction vertical scan launch (the hot half of the
+aggregation stage, ops/pallas_kernels._directional_scan_group) across
+compute-width / unroll variants, asserting bit-equality against the int32
+baseline first.  Chained dependency timing per CLAUDE.md: the relay
+dispatches lazily, so each timed run is an n-long chain whose per-launch
+time is the (n − 1)-normalised difference of two chain lengths.
+
+Writes results/scan_variants.json and prints a table to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+B, H, D, W = 8, 375, 64, 450
+ROLLS = (0, 1, -1)
+ITERS = 12
+REPEATS = 3
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from soc_project_stereo_matching_tpu.ops import pallas_kernels as pk
+
+    log(f"backend={jax.default_backend()} B={B} H={H} D={D} W={W}")
+    rng = np.random.default_rng(0)
+    cost = jnp.asarray(rng.integers(0, 128, (B, H, D, W), dtype=np.int8))
+    img = jnp.asarray(rng.integers(0, 256, (B, H, W)).astype(np.int32))
+    p2 = pk._p2_planes(img, ROLLS, +1, 10, 150)
+    hp = pk._round_up(H, 32)
+    pad = ((0, 0), (0, hp - H), (0, 0), (0, 0))
+    cost_p = jnp.pad(cost, pad)
+    p2_p = jnp.pad(p2, pad)
+
+    def make_run(**kw):
+        @jax.jit
+        def run(c, p):
+            return pk._directional_scan_group(
+                c, p, None, ROLLS, False, 10, False, 32, **kw)
+        return run
+
+    variants = {
+        "i32": make_run(),
+        "i16": make_run(compute16=True),
+        "i32_unroll2": make_run(unroll=2),
+        "i16_unroll2": make_run(compute16=True, unroll=2),
+    }
+
+    def chain_time(fn):
+        @jax.jit
+        def chained(c, p, n):
+            def body(_, cc):
+                out = fn(cc, p)
+                return cc ^ (out[:, :1, :1, :1] & 1).astype(jnp.int8)
+            return fn(jax.lax.fori_loop(0, n, body, c), p)
+
+        o = chained(cost_p, p2_p, 1)
+        jax.device_get(jnp.ravel(o)[0])
+        best = {}
+        for n in (1, ITERS):
+            b = float("inf")
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                o = chained(cost_p, p2_p, n)
+                jax.device_get(jnp.ravel(o)[0])
+                b = min(b, time.perf_counter() - t0)
+            best[n] = b
+        return (best[ITERS] - best[1]) / (ITERS - 1)
+
+    o32 = np.asarray(variants["i32"](cost_p, p2_p))
+    results = {}
+    for name, fn in variants.items():
+        if name != "i32":
+            equal = bool(np.array_equal(o32, np.asarray(fn(cost_p, p2_p))))
+            log(f"{name}: bit-equal={equal}")
+            if not equal:
+                results[name] = {"bit_equal": False}
+                continue
+        t = chain_time(fn)
+        results[name] = {"bit_equal": True, "ms_per_launch": round(t * 1e3, 4)}
+        log(f"{name:12s} {t * 1e3:8.3f} ms/launch")
+
+    base = results["i32"]["ms_per_launch"]
+    for name, r in results.items():
+        if r.get("ms_per_launch"):
+            r["speedup_vs_i32"] = round(base / r["ms_per_launch"], 3)
+
+    out = REPO / "results" / "scan_variants.json"
+    out.write_text(json.dumps({
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "backend": jax.default_backend(),
+        "shape": {"B": B, "H": H, "D": D, "W": W, "rolls": list(ROLLS)},
+        "variants": results,
+    }, indent=2))
+    log(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
