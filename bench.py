@@ -50,43 +50,10 @@ def load_pair():
                 rng.integers(0, 256, (375, 450), dtype=np.uint8))
 
 
-def wait_for_backend(max_wait_s: float = 1800.0) -> None:
-    """Wait out transient relay outages before the in-process backend init.
-
-    The tunnelled TPU relay goes UNAVAILABLE for stretches (observed: ~1 h);
-    once ``jax.devices()`` fails in-process the backend state is poisoned,
-    so probe in a SUBPROCESS until the relay answers (or the budget runs
-    out — then proceed and let the real init produce the error)."""
-    import subprocess
-
-    deadline = time.monotonic() + max_wait_s
-    attempt = 0
-    while True:
-        attempt += 1
-        t0 = time.monotonic()
-        try:
-            ok = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                timeout=min(300.0, max(60.0, deadline - time.monotonic())),
-            ).returncode == 0
-        except subprocess.TimeoutExpired:
-            ok = False          # a hung probe is an outage too
-        if ok:
-            if attempt > 1:
-                log(f"backend probe succeeded on attempt {attempt}")
-            return
-        if time.monotonic() >= deadline:
-            log(f"backend probe still failing after {attempt} attempts / "
-                f"{max_wait_s:.0f}s budget — proceeding anyway")
-            return
-        log(f"backend unavailable (probe attempt {attempt}, "
-            f"{time.monotonic() - t0:.0f}s); retrying in 60s")
-        time.sleep(60)
-
-
 def main() -> None:
-    wait_for_backend()
+    from soc_project_stereo_matching_tpu.utils.relay import wait_for_backend
+
+    wait_for_backend(log=log)
     import jax
 
     # Persistent compilation cache: the full-pipeline XLA+Mosaic compile
