@@ -105,12 +105,49 @@ def main():
         if r.get("ms_per_launch"):
             r["speedup_vs_i32"] = round(base / r["ms_per_launch"], 3)
 
+    # --- census+cost store-width A/B (uint8 tile slabs vs int32 + XLA
+    # narrowing; see _census_cost_kernel's store8 doc) ---------------------
+    imgl = jnp.asarray(rng.integers(0, 256, (B, H, W), dtype=np.uint8))
+    imgr = jnp.asarray(rng.integers(0, 256, (B, H, W), dtype=np.uint8))
+    census = {}
+    for name, s8 in (("int32+narrow", False), ("uint8_slab", True)):
+        fn = jax.jit(lambda l, r, s8=s8: pk.census_cost_volume_pallas(
+            l, r, 0, D, store8=s8))
+
+        @jax.jit
+        def chained(l, r, n, fn=fn):
+            def body(_, ll):
+                out = fn(ll, r)
+                return ll ^ (out[:, :1, 0, :1] & 1)
+            return fn(jax.lax.fori_loop(0, n, body, l), r)
+
+        ref = np.asarray(fn(imgl, imgr))
+        if name == "int32+narrow":
+            c_ref = ref
+        else:
+            log(f"census uint8_slab bit-equal="
+                f"{np.array_equal(c_ref, ref)}")
+        jax.device_get(jnp.ravel(chained(imgl, imgr, 1))[0])
+        best = {}
+        for n in (1, ITERS):
+            bt = float("inf")
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                o = chained(imgl, imgr, n)
+                jax.device_get(jnp.ravel(o)[0])
+                bt = min(bt, time.perf_counter() - t0)
+            best[n] = bt
+        t = (best[ITERS] - best[1]) / (ITERS - 1)
+        census[name] = {"ms_per_launch": round(t * 1e3, 4)}
+        log(f"census {name:14s} {t * 1e3:8.3f} ms/launch")
+
     out = REPO / "results" / "scan_variants.json"
     out.write_text(json.dumps({
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
         "backend": jax.default_backend(),
         "shape": {"B": B, "H": H, "D": D, "W": W, "rolls": list(ROLLS)},
         "variants": results,
+        "census_store": census,
     }, indent=2))
     log(f"wrote {out}")
 

@@ -1059,7 +1059,8 @@ def _popcount32(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _census_cost_kernel(imgl_ref, imgr_ref, out_ref, *, rows: int, h: int,
-                        w: int, dmin: int, dmax: int, mask_rows: bool):
+                        w: int, dmin: int, dmax: int, mask_rows: bool,
+                        store8: bool = False):
     """Fused 5x5 census + Hamming cost volume for one row chunk.
 
     Reference: census_transform_5x5 (SemiGlobalMatching.c:134-159) and
@@ -1095,14 +1096,21 @@ def _census_cost_kernel(imgl_ref, imgr_ref, out_ref, *, rows: int, h: int,
     cl = census(imgl_ref)
     cr = census(imgr_ref)
 
-    # 8-disparity slab stores: a single-d store touches one sublane per
-    # (8, 128) tile of the (rows, D, W) block — 8x write amplification.
-    # Building 8 planes in registers and storing a full (rows, 8, W) slab
-    # writes whole tiles.  (int32 stores: Mosaic rejects sublane-strided
-    # int8 stores; the uint8 narrowing happens in XLA.)
+    # Slab stores: a single-d store touches one sublane per tile of the
+    # (rows, D, W) block — up to 8x (int32) / 32x (int8) write
+    # amplification.  Building whole-tile groups of planes in registers and
+    # storing full (rows, group, W) slabs writes whole tiles.
+    #
+    # ``store8``: the output block is uint8 and the store groups 32 planes
+    # (the 8-bit (32, 128) native tile), so the volume leaves the kernel at
+    # its wire width — no int32 staging volume, no XLA narrowing pass over
+    # a 4x-inflated copy.  Requires D % 32 == 0 (tile-aligned D slices);
+    # otherwise int32 8-groups (Mosaic rejects sublane-strided narrow
+    # stores, so partial groups must ride wide).
     nd = dmax - dmin
-    for k0 in range(0, nd, 8):
-        kk = min(8, nd - k0)
+    group = 32 if store8 else 8
+    for k0 in range(0, nd, group):
+        kk = min(group, nd - k0)
         planes = []
         for k in range(k0, k0 + kk):
             d = dmin + k
@@ -1110,12 +1118,13 @@ def _census_cost_kernel(imgl_ref, imgr_ref, out_ref, *, rows: int, h: int,
             ham = _popcount32(cl ^ shifted)
             oob = (lane - d < 0) | (lane - d >= w)
             planes.append(jnp.where(oob, 127, ham))
-        out_ref[0, :, k0:k0 + kk, :] = jnp.stack(planes, axis=1)
+        slab = jnp.stack(planes, axis=1)
+        out_ref[0, :, k0:k0 + kk, :] = slab.astype(out_ref.dtype)
 
 
 @functools.partial(
     jax.jit, static_argnames=("min_disparity", "max_disparity", "block_rows",
-                              "img_has_halo"))
+                              "img_has_halo", "store8"))
 def census_cost_volume_pallas(
     img_left: jnp.ndarray,
     img_right: jnp.ndarray,
@@ -1123,6 +1132,7 @@ def census_cost_volume_pallas(
     max_disparity: int,
     block_rows: int = 32,
     img_has_halo: bool = False,
+    store8: Optional[bool] = None,
 ) -> jnp.ndarray:
     """uint8 (..., H, W) pair -> (..., H, D, W) uint8 cost volume, fusing
     census_5x5 + hamming_cost_volume in one pass (bit-equal to both).
@@ -1155,16 +1165,21 @@ def census_cost_volume_pallas(
 
     img_spec = pl.BlockSpec((1, hp + 8, w), lambda bi, ci: (bi, 0, 0),
                             memory_space=pltpu.VMEM)
+    if store8 is None:
+        store8 = False      # default off pending real-TPU validation of the
+        #                     uint8 tile-slab store (scripts/scan_variant_bench)
+    store8 = store8 and d % 32 == 0
     cost = pl.pallas_call(
         functools.partial(_census_cost_kernel, rows=block_rows, h=h, w=w,
                           dmin=min_disparity, dmax=max_disparity,
-                          mask_rows=not img_has_halo),
+                          mask_rows=not img_has_halo, store8=store8),
         grid=(b, hp // block_rows),
         in_specs=[img_spec, img_spec],
         out_specs=pl.BlockSpec((1, block_rows, d, w),
                                lambda bi, ci: (bi, ci, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hp, d, w), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, hp, d, w),
+                                       jnp.uint8 if store8 else jnp.int32),
         compiler_params=_VMEM_PARAMS,
         interpret=_interpret(),
     )(pl_pad, pr_pad)

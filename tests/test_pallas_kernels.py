@@ -115,6 +115,11 @@ def test_census_cost_kernel_parity():
         census.census_5x5(il), census.census_5x5(ir), 0, D)
     got = pk.census_cost_volume_pallas(il, ir, 0, D, block_rows=8)
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+    # uint8 tile-slab store variant (D % 32 == 0): same volume, no int32
+    # staging (see _census_cost_kernel's store8 doc)
+    got8 = pk.census_cost_volume_pallas(il, ir, 0, D, block_rows=8,
+                                        store8=True)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got8))
 
 
 def test_speckle_kernel_parity():
