@@ -481,7 +481,7 @@ def aggregate_paths_wta(
 
     if d > 256 and not _interpret():
         aggr = aggregate_paths(cost, img_left, options, diagonal_mode,
-                               block_rows)
+                               block_rows, compute16=compute16)
         fwd, inv = wta_reduce_pallas(aggr, options, include_inverse)
         if unbatched:
             return (WTAPlanes(*(x[0] for x in fwd)),
