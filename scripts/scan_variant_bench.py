@@ -105,6 +105,47 @@ def main():
         if r.get("ms_per_launch"):
             r["speedup_vs_i32"] = round(base / r["ms_per_launch"], 3)
 
+    # --- full fused aggregation+WTA stage, compute16 off/on ---------------
+    # (the decision number for the EngineConfig.compute16 default: all four
+    # DP launches plus the fused WTA reduce, exactly as the pipeline runs it)
+    from soc_project_stereo_matching_tpu.config import SGMOptions
+
+    opt = SGMOptions(max_disparity=D)
+    imgi = jnp.asarray(rng.integers(0, 256, (B, H, W)).astype(np.uint8))
+    cost_u8 = jnp.asarray(
+        rng.integers(0, 128, (B, H, D, W), dtype=np.uint8))
+    stage = {}
+    ref_planes = None
+    for name, c16 in (("stage_i32", False), ("stage_i16", True)):
+        fn = jax.jit(lambda c, i, c16=c16: pk.aggregate_paths_wta(
+            c, i, opt, include_inverse=True, compute16=c16)[0].best_idx)
+
+        @jax.jit
+        def chained(c, i, n, fn=fn):
+            def body(_, cc):
+                out = fn(cc, i)
+                return cc ^ (out[:, :1, :1, None] & 1).astype(jnp.uint8)
+            return fn(jax.lax.fori_loop(0, n, body, c), i)
+
+        got = np.asarray(fn(cost_u8, imgi))
+        if ref_planes is None:
+            ref_planes = got
+        else:
+            log(f"{name}: bit-equal={np.array_equal(ref_planes, got)}")
+        jax.device_get(jnp.ravel(chained(cost_u8, imgi, 1))[0])
+        best = {}
+        for n in (1, ITERS):
+            bt = float("inf")
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                o = chained(cost_u8, imgi, n)
+                jax.device_get(jnp.ravel(o)[0])
+                bt = min(bt, time.perf_counter() - t0)
+            best[n] = bt
+        t = (best[ITERS] - best[1]) / (ITERS - 1)
+        stage[name] = {"ms_per_frame": round(t * 1e3 / B, 4)}
+        log(f"{name:12s} {t * 1e3 / B:8.3f} ms/frame")
+
     # --- census+cost store-width A/B (uint8 tile slabs vs int32 + XLA
     # narrowing; see _census_cost_kernel's store8 doc) ---------------------
     imgl = jnp.asarray(rng.integers(0, 256, (B, H, W), dtype=np.uint8))
@@ -147,6 +188,7 @@ def main():
         "backend": jax.default_backend(),
         "shape": {"B": B, "H": H, "D": D, "W": W, "rolls": list(ROLLS)},
         "variants": results,
+        "aggregation_stage": stage,
         "census_store": census,
     }, indent=2))
     log(f"wrote {out}")
