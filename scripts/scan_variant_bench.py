@@ -38,6 +38,16 @@ def main():
     wait_for_backend(log=log)
 
     import jax
+
+    # persistent compile cache: relay compiles cost minutes; lets retry
+    # attempts (and bench.py) share compiled programs
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/soc_sgm_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from soc_project_stereo_matching_tpu.ops import pallas_kernels as pk
