@@ -103,7 +103,10 @@ def main() -> None:
     t0 = time.perf_counter()
     l = lefts
     for _ in range(ITERS):
-        l, out = step(l, rights)
+        # the AOT executable: the jit wrapper's dispatch cache is separate
+        # from .lower().compile(), so calling `step` here would re-trace
+        # (and re-compile on a persistent-cache miss) inside the timed window
+        l, out = compiled(l, rights)
     _ = jax.device_get(out[0, 0, 0])  # forces the whole chain
     dt = time.perf_counter() - t0
     fps = ITERS * BATCH / dt

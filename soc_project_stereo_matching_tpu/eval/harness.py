@@ -141,8 +141,10 @@ class EvaluationHarness:
         """Batched evaluation: same-shape pairs stream through
         ``match_batch`` in ``batch_size`` groups with background prefetch
         (the KITTI-2015 batched-eval configuration, BASELINE.json) —
-        per-pair metrics, per-batch wall-clock split evenly across the
-        batch (like the reference, round-trip time included).
+        per-pair metrics, per-batch device time split evenly across the
+        batch.  Unlike the reference's stats (which time the full network
+        round trip), durations here are RTT-cancelled device times — see
+        Timing below; don't mix stats files across the two definitions.
 
         Pairs within a batch must share the per-pair disparity range (the
         engine is built from the first pair's; a silent mismatch would
@@ -191,16 +193,18 @@ class EvaluationHarness:
             dt = dt_batch / len(pairs)
             for pair, disp in zip(pairs, disps):
                 measurements.append(self._metrics_for(pair, disp, dt))
-            # resumed + fresh measurements can interleave: renumber seq over
-            # the final order so ids stay unique and contiguous (run() does
-            # the same via its enumerate)
-            for i, m in enumerate(measurements):
-                m["seq"] = i
             if self.config.stats_path:
-                self._write_stats(client_id, measurements)
+                self._write_stats(client_id, self._renumbered(measurements))
+        # resumed + fresh measurements can interleave (and a fully-resumed
+        # run skips the loop entirely): renumber seq over the final order so
+        # ids stay unique and contiguous (run() does the same via enumerate)
+        return self._write_stats(client_id, self._renumbered(measurements))
+
+    @staticmethod
+    def _renumbered(measurements: List[dict]) -> List[dict]:
         for i, m in enumerate(measurements):
             m["seq"] = i
-        return self._write_stats(client_id, measurements)
+        return measurements
 
     # -- full run -----------------------------------------------------------
     def run(self, folders: Sequence[PathLike], client_id: str = "tpu-engine") -> dict:

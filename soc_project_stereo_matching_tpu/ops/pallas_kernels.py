@@ -533,6 +533,8 @@ def horizontal_partial(cost8: jnp.ndarray, img: jnp.ndarray, p1: int,
     cost8: (B, H, D, W) int8; img: (B, H, W) int32.
     Returns the (B, H, D, W) uint16 sum of the two horizontal directions."""
     b, h, d, w = cost8.shape
+    # idempotent re-gate: this is also a public entry for parallel/tiles.py,
+    # so the overflow check cannot live solely in aggregate_paths*
     compute16 = compute16 and int16_safe(p1, p2_init)
     wp = _round_up(w, block_rows)
     cost_t = jnp.pad(cost8.transpose(0, 3, 2, 1),

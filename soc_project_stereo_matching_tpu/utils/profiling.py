@@ -52,10 +52,19 @@ _match_chains = weakref.WeakKeyDictionary()
 
 
 def _rebind(match_fn: Callable) -> Callable:
-    """match_fn without a strong reference to its __self__ (if bound)."""
+    """match_fn without a strong reference to the cache key (its __self__
+    for bound methods, the callable itself otherwise) — else the cached
+    chain's closure would pin its own WeakKeyDictionary key forever."""
     owner = getattr(match_fn, "__self__", None)
     if owner is None:
-        return match_fn
+        fn_ref = weakref.ref(match_fn)    # key == match_fn here
+
+        def call(l, r):
+            fn = fn_ref()                 # deref at trace time: the callable
+            assert fn is not None         # is alive while being timed
+            return fn(l, r)
+
+        return call
     func = match_fn.__func__
     owner_ref = weakref.ref(owner)
 
@@ -69,7 +78,10 @@ def _rebind(match_fn: Callable) -> Callable:
 
 def _chain_for(match_fn: Callable):
     owner = getattr(match_fn, "__self__", match_fn)
-    key = getattr(match_fn, "__func__", match_fn)
+    # inner-dict key: the class-level function for bound methods, a sentinel
+    # otherwise — the key must not be match_fn itself, or the cache value
+    # (dict) strongly references the weak owner key and pins it forever
+    key = getattr(match_fn, "__func__", None)
     try:
         per_owner = _match_chains.get(owner)
         if per_owner is None:
@@ -112,7 +124,9 @@ def chained_match_time(match_fn: Callable, left, right, iters: int = 32,
     iters = max(iters, 2)                  # the RTT-cancelling difference
     chain, per_owner, key = _chain_for(match_fn)
     if chain is None:
-        call = _rebind(match_fn)
+        # only sever the key reference when the chain is actually cached
+        # (an uncacheable match_fn may also not be weakref-able)
+        call = _rebind(match_fn) if per_owner is not None else match_fn
 
         @jax.jit
         def chain(l, r, n):
