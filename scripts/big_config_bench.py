@@ -97,6 +97,10 @@ def run_config(name, w, h, d, batch, iters=4, tiled=False, dmin=0):
 
 
 def main():
+    from soc_project_stereo_matching_tpu.utils.relay import wait_for_backend
+
+    wait_for_backend()
+
     import jax
 
     log(f"backend={jax.default_backend()}, devices={jax.devices()}")

@@ -31,6 +31,10 @@ def log(msg):
 
 
 def main():
+    from soc_project_stereo_matching_tpu.utils.relay import wait_for_backend
+
+    wait_for_backend()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--big", action="store_true",
                     help="also profile the Middlebury-2014 D=256 geometry")

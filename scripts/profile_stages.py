@@ -60,6 +60,10 @@ def timeit_chain(name, fn, x0, iters=ITERS):
 
 
 def main():
+    from soc_project_stereo_matching_tpu.utils.relay import wait_for_backend
+
+    wait_for_backend()
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--jnp", action="store_true",
                     help="time the jnp/lax.scan ops instead of Pallas")

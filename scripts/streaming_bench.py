@@ -42,6 +42,10 @@ def log(msg):
 
 
 def main():
+    from soc_project_stereo_matching_tpu.utils.relay import wait_for_backend
+
+    wait_for_backend()
+
     import jax
     import jax.numpy as jnp
 

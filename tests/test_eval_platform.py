@@ -213,6 +213,34 @@ def test_harness_batched_matches_per_pair(reference_dir, tmp_path):
         assert m["duration_s"] > 0
 
 
+def test_harness_batched_fully_resumed_renumbers(reference_dir, tmp_path):
+    """A resumed batched run whose todo list is empty must still emit
+    unique contiguous seq ids (the in-loop renumber never runs; the final
+    write covers it)."""
+    from soc_project_stereo_matching_tpu import SGMOptions
+    from soc_project_stereo_matching_tpu.eval.harness import (
+        EvaluationHarness, HarnessConfig)
+
+    cone = reference_dir / "SemiGlobalMatching" / "Data" / "cone"
+    stats_path = tmp_path / "b.json"
+    opts = SGMOptions(is_remove_speckles=False)
+    cfg = HarnessConfig(max_disparity=64, batch_size=2,
+                        stats_path=stats_path,
+                        timing_iters=2, timing_repeats=1)
+    EvaluationHarness(opts, cfg).run_batched([cone, cone])
+
+    # poison the stored seq ids, then resume with everything already done
+    stored = json.loads(stats_path.read_text())
+    for m in stored["measurements"]:
+        m["seq"] = 7
+    stats_path.write_text(json.dumps(stored))
+    cfg2 = HarnessConfig(max_disparity=64, batch_size=2, resume=True,
+                         stats_path=stats_path,
+                         timing_iters=2, timing_repeats=1)
+    stats = EvaluationHarness(opts, cfg2).run_batched([cone, cone])
+    assert [m["seq"] for m in stats["measurements"]] == [0, 1]
+
+
 def test_harness_end_to_end_and_resume(reference_dir, tmp_path):
     from soc_project_stereo_matching_tpu.eval.harness import (
         EvaluationHarness, HarnessConfig)
