@@ -41,6 +41,13 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # True cold compiles: force the persistent compilation cache OFF even if
+    # the environment carries JAX_COMPILATION_CACHE_DIR (bench.py and
+    # scan_variant_bench.py populate /tmp/soc_sgm_jax_cache — a silent hit
+    # here would record warm numbers as cold ones).
+    jax.config.update("jax_compilation_cache_dir", None)
+
     import jax.numpy as jnp
 
     from soc_project_stereo_matching_tpu import SGMOptions

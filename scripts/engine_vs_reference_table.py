@@ -91,6 +91,13 @@ def main():
                          "stand-in uses the reference's numDisparities=176)")
     args = ap.parse_args()
 
+    # The engine client's first in-process jax use during a relay outage
+    # poisons the backend for the process lifetime (utils/relay doc) — and
+    # would kill the comparison after the SGBM pass already ran.
+    from soc_project_stereo_matching_tpu.utils.relay import wait_for_backend
+
+    wait_for_backend(log=log)
+
     from soc_project_stereo_matching_tpu import SGMOptions
     from soc_project_stereo_matching_tpu.compat.client import run_client
     from soc_project_stereo_matching_tpu.compat.server import CompatServer

@@ -2,10 +2,16 @@
 
 Times the fused 3-direction vertical scan launch (the hot half of the
 aggregation stage, ops/pallas_kernels._directional_scan_group) across
-compute-width / unroll variants, asserting bit-equality against the int32
-baseline first.  Chained dependency timing per CLAUDE.md: the relay
-dispatches lazily, so each timed run is an n-long chain whose per-launch
-time is the (n − 1)-normalised difference of two chain lengths.
+compute-width / unroll variants, plus the full fused aggregation+WTA stage
+(compute16 off/on) and the census+cost store width (int32 staging vs uint8
+tile slabs) — asserting bit-equality against the int32 baseline before any
+variant is timed; a non-equal variant records ``bit_equal: false`` and no
+timing, so results/scan_variants.json never carries a broken variant's
+number as if validated.
+
+Chained dependency timing per CLAUDE.md: the relay dispatches lazily, so
+each timed run is an n-long chain whose per-launch time is the
+(n - 1)-normalised difference of two chain lengths.
 
 Writes results/scan_variants.json and prints a table to stderr.
 """
@@ -53,7 +59,60 @@ def main():
     from soc_project_stereo_matching_tpu.ops import pallas_kernels as pk
 
     log(f"backend={jax.default_backend()} B={B} H={H} D={D} W={W}")
+
+    def chain_time(fn, feedback, *args):
+        """Per-launch seconds for ``fn(*args)`` via two-length chains.
+
+        ``feedback(prev_out, first_arg)`` must derive the next first
+        argument from the previous output so no link can be elided.  Falls
+        back to the 1-chain time when the relay's noise makes the long
+        chain measure faster than the short one (same guard as
+        utils/profiling.chained_match_time).
+        """
+        @jax.jit
+        def chained(a0, rest, n):
+            def body(_, a):
+                return feedback(fn(a, *rest), a)
+            return fn(jax.lax.fori_loop(0, n, body, a0), *rest)
+
+        a0, rest = args[0], args[1:]
+        o = chained(a0, rest, 1)
+        jax.device_get(jnp.ravel(o)[0])
+        best = {}
+        for n in (1, ITERS):
+            b = float("inf")
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                o = chained(a0, rest, n)
+                jax.device_get(jnp.ravel(o)[0])
+                b = min(b, time.perf_counter() - t0)
+            best[n] = b
+        if best[ITERS] <= best[1]:
+            return best[1]      # relay noise: chains inverted; be honest
+        return (best[ITERS] - best[1]) / (ITERS - 1)
+
+    def ab_section(variants, ref_name, feedback, *args):
+        """Run every variant; record bit_equal vs ``ref_name`` and time only
+        the equal ones.  Returns {name: {bit_equal, s_per_launch?}}."""
+        ref = np.asarray(variants[ref_name](*args))
+        out = {}
+        for name, fn in variants.items():
+            if name == ref_name:
+                equal = True
+            else:
+                equal = bool(np.array_equal(ref, np.asarray(fn(*args))))
+                log(f"{name}: bit-equal={equal}")
+            if not equal:
+                out[name] = {"bit_equal": False}
+                continue
+            t = chain_time(fn, feedback, *args)
+            out[name] = {"bit_equal": True, "s_per_launch": t}
+            log(f"{name:16s} {t * 1e3:8.3f} ms/launch")
+        return out
+
     rng = np.random.default_rng(0)
+
+    # --- fused 3-direction vertical scan launch ---------------------------
     cost = jnp.asarray(rng.integers(0, 128, (B, H, D, W), dtype=np.int8))
     img = jnp.asarray(rng.integers(0, 256, (B, H, W)).astype(np.int32))
     p2 = pk._p2_planes(img, ROLLS, +1, 10, 150)
@@ -69,49 +128,20 @@ def main():
                 c, p, None, ROLLS, False, 10, False, 32, **kw)
         return run
 
-    variants = {
-        "i32": make_run(),
-        "i16": make_run(compute16=True),
-        "i32_unroll2": make_run(unroll=2),
-        "i16_unroll2": make_run(compute16=True, unroll=2),
-    }
-
-    def chain_time(fn):
-        @jax.jit
-        def chained(c, p, n):
-            def body(_, cc):
-                out = fn(cc, p)
-                return cc ^ (out[:, :1, :1, :1] & 1).astype(jnp.int8)
-            return fn(jax.lax.fori_loop(0, n, body, c), p)
-
-        o = chained(cost_p, p2_p, 1)
-        jax.device_get(jnp.ravel(o)[0])
-        best = {}
-        for n in (1, ITERS):
-            b = float("inf")
-            for _ in range(REPEATS):
-                t0 = time.perf_counter()
-                o = chained(cost_p, p2_p, n)
-                jax.device_get(jnp.ravel(o)[0])
-                b = min(b, time.perf_counter() - t0)
-            best[n] = b
-        return (best[ITERS] - best[1]) / (ITERS - 1)
-
-    o32 = np.asarray(variants["i32"](cost_p, p2_p))
-    results = {}
-    for name, fn in variants.items():
-        if name != "i32":
-            equal = bool(np.array_equal(o32, np.asarray(fn(cost_p, p2_p))))
-            log(f"{name}: bit-equal={equal}")
-            if not equal:
-                results[name] = {"bit_equal": False}
-                continue
-        t = chain_time(fn)
-        results[name] = {"bit_equal": True, "ms_per_launch": round(t * 1e3, 4)}
-        log(f"{name:12s} {t * 1e3:8.3f} ms/launch")
-
+    scan_fb = lambda out, c: c ^ (out[:, :1, :1, :1] & 1).astype(jnp.int8)
+    results = ab_section(
+        {
+            "i32": make_run(),
+            "i16": make_run(compute16=True),
+            "i32_unroll2": make_run(unroll=2),
+            "i16_unroll2": make_run(compute16=True, unroll=2),
+        },
+        "i32", scan_fb, cost_p, p2_p)
+    for r in results.values():
+        if "s_per_launch" in r:
+            r["ms_per_launch"] = round(r.pop("s_per_launch") * 1e3, 4)
     base = results["i32"]["ms_per_launch"]
-    for name, r in results.items():
+    for r in results.values():
         if r.get("ms_per_launch"):
             r["speedup_vs_i32"] = round(base / r["ms_per_launch"], 3)
 
@@ -124,73 +154,36 @@ def main():
     imgi = jnp.asarray(rng.integers(0, 256, (B, H, W)).astype(np.uint8))
     cost_u8 = jnp.asarray(
         rng.integers(0, 128, (B, H, D, W), dtype=np.uint8))
-    stage = {}
-    ref_planes = None
-    for name, c16 in (("stage_i32", False), ("stage_i16", True)):
-        fn = jax.jit(lambda c, i, c16=c16: pk.aggregate_paths_wta(
+
+    def make_stage(c16):
+        return jax.jit(lambda c, i: pk.aggregate_paths_wta(
             c, i, opt, include_inverse=True, compute16=c16)[0].best_idx)
 
-        @jax.jit
-        def chained(c, i, n, fn=fn):
-            def body(_, cc):
-                out = fn(cc, i)
-                return cc ^ (out[:, :1, :1, None] & 1).astype(jnp.uint8)
-            return fn(jax.lax.fori_loop(0, n, body, c), i)
-
-        got = np.asarray(fn(cost_u8, imgi))
-        if ref_planes is None:
-            ref_planes = got
-        else:
-            log(f"{name}: bit-equal={np.array_equal(ref_planes, got)}")
-        jax.device_get(jnp.ravel(chained(cost_u8, imgi, 1))[0])
-        best = {}
-        for n in (1, ITERS):
-            bt = float("inf")
-            for _ in range(REPEATS):
-                t0 = time.perf_counter()
-                o = chained(cost_u8, imgi, n)
-                jax.device_get(jnp.ravel(o)[0])
-                bt = min(bt, time.perf_counter() - t0)
-            best[n] = bt
-        t = (best[ITERS] - best[1]) / (ITERS - 1)
-        stage[name] = {"ms_per_frame": round(t * 1e3 / B, 4)}
-        log(f"{name:12s} {t * 1e3 / B:8.3f} ms/frame")
+    stage_fb = lambda out, c: c ^ (out[:, :1, :1, None] & 1).astype(jnp.uint8)
+    stage = ab_section(
+        {"stage_i32": make_stage(False), "stage_i16": make_stage(True)},
+        "stage_i32", stage_fb, cost_u8, imgi)
+    for r in stage.values():
+        if "s_per_launch" in r:
+            r["ms_per_frame"] = round(r.pop("s_per_launch") * 1e3 / B, 4)
+            log(f"  = {r['ms_per_frame']:.3f} ms/frame")
 
     # --- census+cost store-width A/B (uint8 tile slabs vs int32 + XLA
     # narrowing; see _census_cost_kernel's store8 doc) ---------------------
     imgl = jnp.asarray(rng.integers(0, 256, (B, H, W), dtype=np.uint8))
     imgr = jnp.asarray(rng.integers(0, 256, (B, H, W), dtype=np.uint8))
-    census = {}
-    for name, s8 in (("int32+narrow", False), ("uint8_slab", True)):
-        fn = jax.jit(lambda l, r, s8=s8: pk.census_cost_volume_pallas(
+
+    def make_census(s8):
+        return jax.jit(lambda l, r: pk.census_cost_volume_pallas(
             l, r, 0, D, store8=s8))
 
-        @jax.jit
-        def chained(l, r, n, fn=fn):
-            def body(_, ll):
-                out = fn(ll, r)
-                return ll ^ (out[:, :1, 0, :1] & 1)
-            return fn(jax.lax.fori_loop(0, n, body, l), r)
-
-        ref = np.asarray(fn(imgl, imgr))
-        if name == "int32+narrow":
-            c_ref = ref
-        else:
-            log(f"census uint8_slab bit-equal="
-                f"{np.array_equal(c_ref, ref)}")
-        jax.device_get(jnp.ravel(chained(imgl, imgr, 1))[0])
-        best = {}
-        for n in (1, ITERS):
-            bt = float("inf")
-            for _ in range(REPEATS):
-                t0 = time.perf_counter()
-                o = chained(imgl, imgr, n)
-                jax.device_get(jnp.ravel(o)[0])
-                bt = min(bt, time.perf_counter() - t0)
-            best[n] = bt
-        t = (best[ITERS] - best[1]) / (ITERS - 1)
-        census[name] = {"ms_per_launch": round(t * 1e3, 4)}
-        log(f"census {name:14s} {t * 1e3:8.3f} ms/launch")
+    census_fb = lambda out, l: l ^ (out[:, :1, 0, :1] & 1)
+    census = ab_section(
+        {"int32+narrow": make_census(False), "uint8_slab": make_census(True)},
+        "int32+narrow", census_fb, imgl, imgr)
+    for r in census.values():
+        if "s_per_launch" in r:
+            r["ms_per_launch"] = round(r.pop("s_per_launch") * 1e3, 4)
 
     out = REPO / "results" / "scan_variants.json"
     out.write_text(json.dumps({

@@ -173,7 +173,11 @@ class EvaluationHarness:
             if getattr(f, "name", None) in done]
 
         iters, repeats = self.config.resolved_timing()
-        iters = max(2, iters // 4)      # the batch already amortises noise
+        if self.config.timing_iters is None:
+            # default only: the batch already amortises noise, so the
+            # backend-default chain shortens 4x — an explicit --timing-iters
+            # is honoured verbatim
+            iters = max(2, iters // 4)
         for lefts, rights, pairs in batched_pair_stream(
                 todo, self.config.batch_size):
             if self.config.max_disparity is None \
@@ -273,6 +277,26 @@ def main(argv=None):
                     help="min-of-N repeats per chain length (default: 3 on "
                          "TPU, 1 elsewhere)")
     args = ap.parse_args(argv)
+
+    # Relay-outage probe before any in-process jax use (a failed first init
+    # poisons the backend for the process lifetime — utils/relay doc).
+    # Skipped when the run is pinned to CPU: a CPU directory eval should not
+    # block on TPU-tunnel weather.
+    import os
+
+    want_cpu = "cpu" in os.environ.get("JAX_PLATFORMS", "").lower()
+    if want_cpu:
+        # the axon plugin overrides the env var; honour it via the config API
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialised
+    else:
+        from ..utils.relay import wait_for_backend
+
+        wait_for_backend()
 
     if args.data is not None and (Path(args.data) / "image_2").is_dir():
         from ..data.datasets import kitti_frame_refs

@@ -254,6 +254,7 @@ def _post_aggregation(aggr: jnp.ndarray, options: SGMOptions,
     rows_axis = disp.ndim - 2
     my = jax.lax.axis_index(axis_name) if k > 1 else 0
 
+    full = None                 # gathered whole plane, if any stage needed it
     if options.is_remove_speckles:
         # global connectivity: gather the (small) disparity plane
         if k > 1:
@@ -269,17 +270,19 @@ def _post_aggregation(aggr: jnp.ndarray, options: SGMOptions,
         else:
             spk = lambda d: remove_speckles(d, 1.0, options.min_speckle_area)
             full = spk(full) if full.ndim == 2 else jax.vmap(spk)(full)
-        disp = jax.lax.dynamic_slice_in_dim(full, my * ht, ht, axis=rows_axis)
+        if not options.median_inplace:
+            disp = jax.lax.dynamic_slice_in_dim(full, my * ht, ht,
+                                                axis=rows_axis)
 
     if options.median_inplace:
         # the raster recurrence crosses every tile boundary; the disparity
         # plane is small, so gather it whole (like speckle) and run the
-        # wavefront in-place median globally — reference-exact
-        if k > 1:
+        # wavefront in-place median globally — reference-exact.  When the
+        # speckle branch already gathered+filtered the plane, reuse it
+        # instead of re-gathering (one collective, one slice).
+        if full is None:
             full = jax.lax.all_gather(disp, axis_name, axis=rows_axis,
-                                      tiled=True)
-        else:
-            full = disp
+                                      tiled=True) if k > 1 else disp
         full = median_filter_3x3_inplace(full)
         return jax.lax.dynamic_slice_in_dim(full, my * ht, ht,
                                             axis=rows_axis)

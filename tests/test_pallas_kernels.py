@@ -115,11 +115,16 @@ def test_census_cost_kernel_parity():
         census.census_5x5(il), census.census_5x5(ir), 0, D)
     got = pk.census_cost_volume_pallas(il, ir, 0, D, block_rows=8)
     np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
-    # uint8 tile-slab store variant (D % 32 == 0): same volume, no int32
-    # staging (see _census_cost_kernel's store8 doc)
-    got8 = pk.census_cost_volume_pallas(il, ir, 0, D, block_rows=8,
+    # uint8 tile-slab store variant: requires D % 32 == 0 (the module D=16
+    # would silently fall back to the int32 path and test nothing), so run
+    # it at D=32 against its own reference volume
+    d32 = 32
+    want32 = cost_volume.hamming_cost_volume(
+        census.census_5x5(il), census.census_5x5(ir), 0, d32)
+    got8 = pk.census_cost_volume_pallas(il, ir, 0, d32, block_rows=8,
                                         store8=True)
-    np.testing.assert_array_equal(np.asarray(want), np.asarray(got8))
+    assert got8.dtype == want32.dtype
+    np.testing.assert_array_equal(np.asarray(want32), np.asarray(got8))
 
 
 def test_speckle_kernel_parity():

@@ -127,6 +127,34 @@ def test_engine_tiled_mesh_matches_single_device():
             & (both_inf | (single == tiled))).all()
 
 
+def test_tiled_median_inplace_matches_single_device():
+    """Reference-parity mode (median_inplace=True) on a k>1 tile mesh: the
+    speckle branch's gathered plane is reused by the in-place median (one
+    all_gather, not two) and the result stays bit-equal to the unsharded
+    engine."""
+    import numpy as np
+    from soc_project_stereo_matching_tpu import SGMOptions
+    from soc_project_stereo_matching_tpu.models.sgm import SGMEngine
+    from soc_project_stereo_matching_tpu.parallel.mesh import make_mesh
+    from soc_project_stereo_matching_tpu.parallel.tiles import (
+        make_tiled_matcher)
+
+    opts = SGMOptions(max_disparity=16, min_speckle_area=8,
+                      median_inplace=True)
+    rng = np.random.default_rng(7)
+    lefts = rng.integers(0, 256, (2, 16, 64), dtype=np.uint8)
+    rights = rng.integers(0, 256, (2, 16, 64), dtype=np.uint8)
+
+    single = np.asarray(SGMEngine(opts).match_batch(lefts, rights))
+    mesh = make_mesh(data=2, tile=4)
+    tiled = np.asarray(make_tiled_matcher(
+        opts, mesh, 16, 64, cross_tile="exact")(lefts, rights))
+
+    both_inf = np.isinf(single) & np.isinf(tiled)
+    assert ((np.isinf(single) == np.isinf(tiled))
+            & (both_inf | (single == tiled))).all()
+
+
 @pytest.mark.parametrize("compute16", [False, True])
 @pytest.mark.parametrize("cross_tile", ["exact", "pipelined", "local"])
 def test_pallas_tiled_matches_single_device(cross_tile, compute16):
