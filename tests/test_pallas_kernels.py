@@ -289,6 +289,14 @@ def test_scan_group_int16_compute_bit_equal():
     rolls = (0, 1, -1)
     p2 = jnp.pad(pk._p2_planes(img, rolls, +1, 10, 150),
                  ((0, 0), (0, hp - H), (0, 0), (0, 0)))
+
+    # scan-step software unroll (the other A/B knob): pure scheduling, must
+    # be bit-identical in every compute width
+    args = (cost, p2, None, rolls, False, 10, False, 8)
+    base = np.asarray(pk._directional_scan_group(*args))
+    for kw in ({"unroll": 2}, {"unroll": 2, "compute16": True}):
+        np.testing.assert_array_equal(
+            base, np.asarray(pk._directional_scan_group(*args, **kw)))
     cin = (jnp.asarray(RNG.integers(0, 256, (2, 3, D, W)).astype(np.int32)),
            jnp.asarray(RNG.integers(0, 256, (2, 3, 1, W)).astype(np.int32)))
     for kwargs in ({"carry_in": cin, "want_carry": True},
