@@ -423,12 +423,8 @@ def aggregate_paths(
     hp = _round_up(h, block_rows)
 
     # ---- vertical groups (6 of 8 paths; 2 of 4) --------------------------
-    v_rolls_f = (0, 1, -1) if options.num_paths == 8 else (0,)
-    v_rolls_b = (0, -1, 1) if options.num_paths == 8 else (0,)
-    cost_v = jnp.pad(cost8, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
-    p2_f = _p2_planes(img, v_rolls_f, +1, p1, p2i)
-    p2_b = _p2_planes(img, v_rolls_b, -1, p1, p2i)
-    pad_p2 = ((0, 0), (0, hp - h), (0, 0), (0, 0))
+    (v_rolls_f, v_rolls_b, cost_v, p2_f, p2_b,
+     pad_p2) = _vertical_setup(cost8, img, options.num_paths, p1, p2i, hp, h)
     part_v = _directional_scan_group(
         cost_v, jnp.pad(p2_f, pad_p2), None, v_rolls_f, False, p1, restart,
         block_rows, compute16=compute16)
@@ -498,12 +494,8 @@ def aggregate_paths_wta(
     part_h = horizontal_partial(cost8, img, p1, p2i, restart, block_rows,
                                 compute16=compute16)
 
-    v_rolls_f = (0, 1, -1) if options.num_paths == 8 else (0,)
-    v_rolls_b = (0, -1, 1) if options.num_paths == 8 else (0,)
-    cost_v = jnp.pad(cost8, pad_vol)
-    p2_f = _p2_planes(img, v_rolls_f, +1, p1, p2i)
-    p2_b = _p2_planes(img, v_rolls_b, -1, p1, p2i)
-    pad_p2 = ((0, 0), (0, hp - h), (0, 0), (0, 0))
+    (v_rolls_f, v_rolls_b, cost_v, p2_f, p2_b,
+     pad_p2) = _vertical_setup(cost8, img, options.num_paths, p1, p2i, hp, h)
 
     part = _directional_scan_group(
         cost_v, jnp.pad(p2_f, pad_p2), jnp.pad(part_h, pad_vol),
@@ -521,6 +513,21 @@ def aggregate_paths_wta(
     inv = WTAPlanes(*(crop(o) for o in planes[5:])) if include_inverse \
         else None
     return fwd, inv
+
+
+def _vertical_setup(cost8, img, num_paths: int, p1: int, p2i: int,
+                    hp: int, h: int):
+    """Shared vertical-group operands for aggregate_paths and the fused
+    aggregate_paths_wta (keeps their documented bit-equality single-sourced):
+    forward/backward roll sets, the scan-axis-padded cost, both P2 planes
+    and the matching pad tuple."""
+    v_rolls_f = (0, 1, -1) if num_paths == 8 else (0,)
+    v_rolls_b = (0, -1, 1) if num_paths == 8 else (0,)
+    pad = ((0, 0), (0, hp - h), (0, 0), (0, 0))
+    cost_v = jnp.pad(cost8, pad)
+    p2_f = _p2_planes(img, v_rolls_f, +1, p1, p2i)
+    p2_b = _p2_planes(img, v_rolls_b, -1, p1, p2i)
+    return v_rolls_f, v_rolls_b, cost_v, p2_f, p2_b, pad
 
 
 def horizontal_partial(cost8: jnp.ndarray, img: jnp.ndarray, p1: int,
@@ -663,7 +670,10 @@ def _wta_reduce_block(a, *, rows: int, d: int, w: int, dmin: int,
         min1, min2, rc1, rc2, prev = state
         rbest = min1 & kmask
         rminc = min1 >> kshift
-        rsec = min2 >> kshift
+        # d == 1: min2 is never beaten (single plane), so match the jnp
+        # reference's empty-set second-min (BIG), not the unpacked sentinel
+        rsec = min2 >> kshift if d > 1 \
+            else jnp.full((rows, w), BIG, jnp.int32)
         rc2 = jnp.where(rbest == d - 1, prev, rc2)
         outs += [rbest, rminc, rsec, rc1, rc2]
 
@@ -957,6 +967,9 @@ def _label_counts(labels: jnp.ndarray, finite: jnp.ndarray, h: int,
     chunk_spec = pl.BlockSpec((1, 1, 1, pc), lambda bi, ci: (bi, ci, 0, 0),
                               memory_space=pltpu.VMEM)
     lo = 1 << lo_bits
+    # same raised VMEM cap as the sibling speckle kernels: the resident
+    # (h, lo) f32 accumulator plus the two one-hot operands of the
+    # dot_general exceed the default scoped-VMEM budget on wide frames
     return pl.pallas_call(
         functools.partial(_hist_kernel, pc=pc, khi=h, lo_bits=lo_bits),
         grid=(b, nchunks),
@@ -964,6 +977,8 @@ def _label_counts(labels: jnp.ndarray, finite: jnp.ndarray, h: int,
         out_specs=pl.BlockSpec((1, h, lo), lambda bi, ci: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, lo), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=116 * 1024 * 1024),
         interpret=_interpret(),
     )(lab_p, fin_p)
 
@@ -1154,6 +1169,10 @@ def census_cost_volume_pallas(
     flat_r = img_right.reshape((-1, h_in, w))
     b = flat_l.shape[0]
     block_rows = _auto_block_rows(d, w, block_rows)
+    # the kernel's dynamic slab load needs an 8-aligned sublane offset
+    # (r0 = chunk * block_rows), so the chunk size must be a multiple of 8
+    # — a user-passed 48 would shrink to 12 above and fail Mosaic compile
+    block_rows = max(8, block_rows - block_rows % 8)
     hp = _round_up(h, block_rows)
 
     # 2-row census halo + slab-alignment padding, all resolved host-side.
