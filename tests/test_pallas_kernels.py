@@ -108,6 +108,19 @@ def test_wta_kernel_wide_disparity_range():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_wta_kernel_degenerate_single_plane():
+    """d == 1 (max_disparity = min_disparity + 1): the inverse second-min
+    must be the jnp reference's empty-set BIG, not the packed sentinel."""
+    opt = SGMOptions(min_disparity=3, max_disparity=4)
+    aggr = jnp.asarray(RNG.integers(0, 60000, (9, 1, 40), dtype=np.uint16))
+    fwd, inv = pk.wta_reduce_pallas(aggr, opt, include_inverse=True,
+                                    block_rows=8)
+    for got, want in zip(fwd, wta.wta_reduce(aggr, opt, inverse=False)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    for got, want in zip(inv, wta.wta_reduce(aggr, opt, inverse=True)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_census_cost_kernel_parity():
     il = jnp.asarray(RNG.integers(0, 256, (2, 40, 61), dtype=np.uint8))
     ir = jnp.asarray(RNG.integers(0, 256, (2, 40, 61), dtype=np.uint8))
