@@ -38,7 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import SGMOptions
 from ..ops.aggregation import DIRECTIONS_4, DIRECTIONS_8, ScanCarry, directional_scan
 from ..ops.census import census_5x5
-from ..ops.cost_volume import hamming_cost_volume
+from ..ops.cost_volume import BORDER_COST, hamming_cost_volume
 from ..ops.postprocess import (lr_check, median_filter_3x3,
                                median_filter_3x3_inplace, remove_speckles)
 from ..ops.wta import compute_disparity
@@ -406,7 +406,7 @@ def _tiled_forward_batch_pallas(
     dvals = jnp.arange(dmin, dmax)
     oob = (lane[None, :] - dvals[:, None] < 0) | \
           (lane[None, :] - dvals[:, None] >= w)
-    fix = jnp.where(oob, jnp.uint8(127), jnp.uint8(0))
+    fix = jnp.where(oob, jnp.uint8(BORDER_COST), jnp.uint8(0))
     cost = jnp.where(border[None, :, None, None], fix[None, None], cost)
 
     # --- aggregation ------------------------------------------------------
@@ -430,9 +430,16 @@ def _tiled_forward_batch_pallas(
     for rolls, reverse, p2 in ((v_rolls_f, False, p2_f),
                                (v_rolls_b, True, p2_b)):
         if cross_tile == "local" or k == 1:
+            # fresh-start scans need no carry machinery: pad the scan axis
+            # (zero cost/P2 rows are carry-neutral in both directions, as in
+            # aggregate_paths) and crop.  want_carry=True would force
+            # divisor-of-Ht chunking — block_rows collapses to 1 for a prime
+            # Ht — plus dead carry outputs per direction group.
+            hp = pk._round_up(ht, 32)
+            pad = ((0, 0), (0, hp - ht), (0, 0), (0, 0))
             contrib = pk.directional_scan_group(
-                cost8, p2, None, rolls, reverse, p1, restart,
-                want_carry=True, compute16=compute16)[0]
+                jnp.pad(cost8, pad), jnp.pad(p2, pad), None, rolls,
+                reverse, p1, restart, compute16=compute16)[:, :ht]
         elif cross_tile == "pipelined":
             contrib = _group_scan_pipelined_pallas(
                 cost8, p2, rolls, reverse, p1, restart, axis_name, k,
@@ -510,9 +517,17 @@ def make_tiled_matcher(
     direction-group DP scans (with cross-tile carry-in/out), WTA and
     speckle — all three cross_tile modes supported, bit-identical to the
     jnp path."""
+    if cross_tile not in ("exact", "pipelined", "local"):
+        raise ValueError(f"cross_tile={cross_tile!r}: expected "
+                         "'exact', 'pipelined' or 'local'")
     k = mesh.shape["tile"]
     if h % k:
         raise ValueError(f"H={h} not divisible by tile axis size {k}")
+    if h // k < 2:
+        # the census halo exchange ships 2 boundary rows per side; a 1-row
+        # tile would silently under-fill the halo and zero every census code
+        raise ValueError(f"tile height {h}//{k}={h // k} < 2: the 5x5 "
+                         "census halo needs >= 2 rows per tile")
 
     if use_pallas:
         def local_fn(lefts, rights):
