@@ -39,7 +39,15 @@ def sgm_forward(
     compute16: bool = False,
 ) -> jnp.ndarray:
     """uint8 (..., H, W) stereo pair -> float32 (..., H, W) disparity
-    (+inf invalid).  Accepts an optional leading batch dimension."""
+    (+inf invalid).  Accepts any number of leading batch dimensions."""
+    # The aggregation entry points are written for one leading batch dim;
+    # collapse extras inline and restore them on the way out.  (Inline, not
+    # via a nested call around a reshape: that pattern re-triggers the XLA
+    # fusion miscompile the optimization_barrier below works around.)
+    batch_extra = img_left.shape[:-2] if img_left.ndim > 3 else None
+    if batch_extra is not None:
+        img_left = img_left.reshape((-1,) + img_left.shape[-2:])
+        img_right = img_right.reshape((-1,) + img_right.shape[-2:])
     if use_pallas:
         from ..ops import pallas_kernels as pk
 
@@ -54,7 +62,7 @@ def sgm_forward(
         if options.is_check_lr:
             disp = pk.lr_check_pallas(disp, finalize_disparity(inv, options),
                                       options.lrcheck_thres,
-                                      max_shift=max(options.max_disparity, 1))
+                                      max_shift=options.max_disparity)
     else:
         cl = census_5x5(img_left)
         cr = census_5x5(img_right)
@@ -79,11 +87,10 @@ def sgm_forward(
         if options.is_check_lr:
             disp_right = compute_disparity(aggr, options, inverse=True)
             disp = lr_check(disp, disp_right, options.lrcheck_thres,
-                            max_shift=max(options.max_disparity, 1))
+                            max_shift=options.max_disparity)
     if options.is_remove_speckles:
         if use_pallas:
-            from ..ops import pallas_kernels as pk
-
+            # pk is already bound by the use_pallas branch above
             disp = pk.remove_speckles_pallas(disp, 1.0, options.min_speckle_area)
         elif disp.ndim == 2:
             disp = remove_speckles(disp, 1.0, options.min_speckle_area)
@@ -97,8 +104,16 @@ def sgm_forward(
         # reference-exact raster-recurrence median (SemiGlobalMatching.c:120
         # calls MedianFilter with in == out); wavefront-sequential, so it is
         # the parity mode, not the perf path — see postprocess.py
-        return median_filter_3x3_inplace(disp)
-    return median_filter_3x3(disp)
+        disp = median_filter_3x3_inplace(disp)
+    else:
+        disp = median_filter_3x3(disp)
+    if batch_extra is not None:
+        # XLA miscompiles the median fused into this restore-reshape (first
+        # batch plane comes back wrong, CPU and TPU-family fusion bug of the
+        # same shape as the aggregation barrier above); materialise first
+        disp = jax.lax.optimization_barrier(disp)
+        disp = disp.reshape(batch_extra + disp.shape[-2:])
+    return disp
 
 
 class SGMEngine:
@@ -111,7 +126,8 @@ class SGMEngine:
     With a ``mesh``, ``match_batch`` runs sharded: batch over the mesh's
     'data' axis, and — when ``config.tile_mode`` is 'exact', 'pipelined' or 'local' — image
     rows over its 'tile' axis with halo exchange and cross-tile scan-carry
-    chaining (parallel/tiles.py).
+    chaining (parallel/tiles.py).  With ``tile_mode='none'`` the batch is
+    still data-parallel over 'data' (rows replicated over any 'tile' axis).
     """
 
     def __init__(self, options: SGMOptions = SGMOptions(),
@@ -120,19 +136,27 @@ class SGMEngine:
         self.options = options
         self.config = config
         self.mesh = mesh
-        self._tiled = {}
-        self._batched = jax.jit(
-            lambda l, r: sgm_forward(
-                l, r, options, self._diag_mode(), self._use_pallas(),
-                self.config.compute16,
-            )
-        )
+        self._matchers = {}
 
     def _diag_mode(self) -> str:
         return self.config.diagonal_mode
 
     def _use_pallas(self) -> bool:
         return self.config.use_pallas and jax.default_backend() == "tpu"
+
+    def _batched(self, lefts, rights) -> jax.Array:
+        """Unsharded batched forward reading options/config live (jit
+        caching keys on sgm_forward's static args, so a config change
+        retraces instead of silently reusing a stale executable)."""
+        return sgm_forward(lefts, rights, self.options, self._diag_mode(),
+                           self._use_pallas(), self.config.compute16)
+
+    def _matcher_key(self, tag: str, h: int, w: int) -> tuple:
+        # everything the built matcher bakes in at construction time —
+        # a config/options reassignment must miss the cache, not silently
+        # reuse a matcher built for the old settings
+        return (tag, h, w, self.options, self.config.tile_mode,
+                self._diag_mode(), self._use_pallas(), self.config.compute16)
 
     def match(self, img_left, img_right) -> jax.Array:
         """Single pair -> disparity.  Accepts numpy or jax uint8 arrays."""
@@ -149,18 +173,34 @@ class SGMEngine:
         """(B, H, W) pairs -> (B, H, W) disparities."""
         lefts = jnp.asarray(imgs_left, jnp.uint8)
         rights = jnp.asarray(imgs_right, jnp.uint8)
+        h, w = lefts.shape[-2:]
         if self.mesh is not None and self.config.tile_mode != "none":
             from ..parallel.tiles import make_tiled_matcher
 
-            h, w = lefts.shape[-2:]
-            key = (h, w)
-            if key not in self._tiled:
-                self._tiled[key] = make_tiled_matcher(
+            key = self._matcher_key("tiled", h, w)
+            if key not in self._matchers:
+                self._matchers[key] = make_tiled_matcher(
                     self.options, self.mesh, h, w,
                     cross_tile=self.config.tile_mode,
                     diagonal_mode=self._diag_mode(),
                     use_pallas=self._use_pallas(),
                     compute16=self.config.compute16,
                 )
-            return self._tiled[key](lefts, rights)
+            return self._matchers[key](lefts, rights)
+        if self.mesh is not None and self.mesh.size > 1:
+            # tile_mode='none' with a real mesh: still data-parallel over
+            # 'data' (docstring contract); rows replicated over any 'tile'
+            # axis.  1-device meshes take plain jit (the tunnelled relay
+            # runs shard_map modules ~100x slower, see make_tiled_matcher).
+            key = self._matcher_key("dp", h, w)
+            if key not in self._matchers:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                spec = P("data", None, None)
+                fwd = self._batched
+                self._matchers[key] = jax.jit(shard_map(
+                    lambda l, r: fwd(l, r), mesh=self.mesh,
+                    in_specs=(spec, spec), out_specs=spec, check_vma=False))
+            return self._matchers[key](lefts, rights)
         return self._batched(lefts, rights)

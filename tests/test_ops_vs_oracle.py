@@ -139,6 +139,17 @@ def test_engine_batched(stages):
     assert _disp_equal(got[0], stages["med"])
 
 
+def test_sgm_forward_multi_batch_dims(stages):
+    """(..., H, W) contract: extra leading dims collapse and restore."""
+    left, right = stages["left"], stages["right"]
+    batch_l = np.stack([left, left[:, ::-1]]).reshape((2, 1) + left.shape)
+    batch_r = np.stack([right, right[:, ::-1]]).reshape((2, 1) + right.shape)
+    got = sgm_forward(batch_l.astype(np.uint8), batch_r.astype(np.uint8),
+                      OPTS)
+    assert got.shape == (2, 1) + left.shape
+    assert _disp_equal(got[0, 0], stages["med"])
+
+
 def test_min_disparity_offset(stages):
     """Non-zero min_disparity path (no reference equivalent exercises it)."""
     opts = SGMOptions(min_disparity=4, max_disparity=36)

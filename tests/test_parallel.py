@@ -127,6 +127,30 @@ def test_engine_tiled_mesh_matches_single_device():
             & (both_inf | (single == tiled))).all()
 
 
+def test_engine_mesh_data_parallel_without_tiling():
+    """tile_mode='none' with a mesh still data-parallels the batch over
+    'data' (rows replicated over the unused 'tile' axis) — the class
+    docstring's contract — and matches the unsharded engine bit-for-bit."""
+    import numpy as np
+    from soc_project_stereo_matching_tpu import EngineConfig, SGMOptions
+    from soc_project_stereo_matching_tpu.models.sgm import SGMEngine
+    from soc_project_stereo_matching_tpu.parallel.mesh import make_mesh
+
+    opts = SGMOptions(max_disparity=16, min_speckle_area=8)
+    rng = np.random.default_rng(11)
+    lefts = rng.integers(0, 256, (2, 16, 64), dtype=np.uint8)
+    rights = rng.integers(0, 256, (2, 16, 64), dtype=np.uint8)
+
+    single = np.asarray(SGMEngine(opts).match_batch(lefts, rights))
+    eng = SGMEngine(opts, EngineConfig(tile_mode="none"),
+                    mesh=make_mesh(data=2, tile=4))
+    got = np.asarray(eng.match_batch(lefts, rights))
+
+    both_inf = np.isinf(single) & np.isinf(got)
+    assert ((np.isinf(single) == np.isinf(got))
+            & (both_inf | (single == got))).all()
+
+
 def test_tiled_median_inplace_matches_single_device():
     """Reference-parity mode (median_inplace=True) on a k>1 tile mesh: the
     speckle branch's gathered plane is reused by the in-place median (one
