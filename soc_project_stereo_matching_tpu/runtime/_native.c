@@ -149,6 +149,13 @@ static PyObject* speckle_filter(PyObject* self, PyObject* args)
     }
     float* d = (float*)buf.buf;
     const size_t n = (size_t)h * w;
+    if (n > (size_t)UINT32_MAX) {
+        /* queue entries are uint32 pixel indices; >4G pixels would
+         * silently truncate and alias */
+        PyErr_SetString(PyExc_ValueError, "image too large (> 2^32 px)");
+        PyBuffer_Release(&buf);
+        return NULL;
+    }
     uint8_t* visited = (uint8_t*)calloc(n, 1);
     uint32_t* queue = (uint32_t*)malloc(n * sizeof(uint32_t));
     if (!visited || !queue) {

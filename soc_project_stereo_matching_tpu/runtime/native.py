@@ -59,6 +59,10 @@ def gray_from_bgr_planes(planes: np.ndarray, wr: int = 76, wg: int = 150,
     Default weights are the ZedBoard firmware's (stereo_matching.c:19-25);
     use (77, 150, 29) for stb parity."""
     planes = np.ascontiguousarray(planes, dtype=np.uint8)
+    if planes.ndim != 3 or planes.shape[0] != 3:
+        # an (H, W, 3) interleaved image would silently reinterpret as
+        # (H=W, W=3) planes and return structurally wrong luma
+        raise ValueError(f"expected planar (3, H, W) BGR, got {planes.shape}")
     _c, h, w = planes.shape
     mod = _load()
     out = np.empty((h, w), dtype=np.uint8)

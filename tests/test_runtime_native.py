@@ -94,6 +94,35 @@ def test_prefetch_iterator_propagates_and_orders():
         next(it)
 
 
+def test_prefetch_iterator_contracts():
+    # depth < 1 used to deadlock the producer/consumer pair forever
+    with pytest.raises(ValueError, match="depth"):
+        PrefetchIterator(range(3), depth=0)
+
+    # close() releases a blocked producer (abandoned-stream leak fix)
+    produced = []
+
+    def slow():
+        for i in range(100):
+            produced.append(i)
+            yield i
+
+    it = PrefetchIterator(slow(), depth=2)
+    assert next(it) == 0
+    it.close()
+    it._thread.join(timeout=5.0)
+    assert not it._thread.is_alive()
+    assert len(produced) < 100          # producer stopped early
+
+
+def test_batched_pair_stream_validation():
+    from soc_project_stereo_matching_tpu.data.pipeline import (
+        batched_pair_stream)
+
+    with pytest.raises(ValueError, match="batch_size"):
+        list(batched_pair_stream([], batch_size=0))
+
+
 def test_batched_pair_stream(reference_dir):
     from soc_project_stereo_matching_tpu.data.datasets import reference_data_pairs
     folders = reference_data_pairs(reference_dir)
