@@ -3,6 +3,12 @@
 Prints ONE JSON line:
   {"metric": "frames_per_sec_per_chip", "value": N, "unit": "fps",
    "vs_baseline": N}
+On failure it STILL prints exactly one JSON line, with ``value: null`` and
+an ``error`` field recording why (VERDICT r3 weak #1: the r3 artifact was
+empty because a relay outage out-waited the driver's command timeout and
+the bench printed nothing).  Budgets: the relay probe window is capped at
+10 min and a whole-process watchdog fires at 25 min — both well inside any
+plausible driver timeout, so the artifact always parses.
 
 Baseline: the reference C core compiled -O2 on x86 runs ~1.4 FPS end-to-end
 on the cone pair (BASELINE.md; the ARM Cortex-A9 target it was written for
@@ -23,6 +29,7 @@ wall-clock / iters is then a true per-iteration time.
 from __future__ import annotations
 
 import json
+import signal
 import sys
 import time
 
@@ -31,10 +38,26 @@ import numpy as np
 BASELINE_FPS = 1.4
 BATCH = 32
 ITERS = 10
+PROBE_BUDGET_S = 600.0     # relay-outage probe window (utils/relay.py)
+WATCHDOG_S = 1500          # whole-process deadline: emit JSON, then die
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def emit(value, error: str | None = None) -> None:
+    """The bench's single stdout line — success or failure, always one."""
+    rec = {
+        "metric": "frames_per_sec_per_chip",
+        "value": None if value is None else round(value, 2),
+        "unit": "fps",
+        "vs_baseline": (None if value is None
+                        else round(value / BASELINE_FPS, 2)),
+    }
+    if error is not None:
+        rec["error"] = error
+    print(json.dumps(rec), flush=True)
 
 
 def load_pair():
@@ -50,10 +73,14 @@ def load_pair():
                 rng.integers(0, 256, (375, 450), dtype=np.uint8))
 
 
-def main() -> None:
+def run_bench() -> float:
+    """Measure and return the headline fps.  Raises on any failure."""
     from soc_project_stereo_matching_tpu.utils.relay import wait_for_backend
 
-    wait_for_backend(log=log)
+    if not wait_for_backend(max_wait_s=PROBE_BUDGET_S, log=log):
+        raise RuntimeError(
+            f"TPU backend unavailable after {PROBE_BUDGET_S:.0f}s probe "
+            "window (relay outage or broken environment; see stderr)")
     import jax
 
     # Persistent compilation cache: the full-pipeline XLA+Mosaic compile
@@ -121,7 +148,6 @@ def main() -> None:
     # kernel is compute-bound by design (int32 VPU DP steps), so GB/s sits
     # well under the bandwidth roofline.
     try:
-        import jax.numpy as jnp  # noqa: F811
         from soc_project_stereo_matching_tpu.ops import pallas_kernels as pk
         from soc_project_stereo_matching_tpu import SGMOptions as _SO
 
@@ -160,12 +186,34 @@ def main() -> None:
     except Exception as e:  # diagnostics only — never break the bench
         log(f"roofline diagnostic skipped: {e}")
 
-    print(json.dumps({
-        "metric": "frames_per_sec_per_chip",
-        "value": round(fps, 2),
-        "unit": "fps",
-        "vs_baseline": round(fps / BASELINE_FPS, 2),
-    }))
+    return fps
+
+
+def main() -> None:
+    def on_alarm(signum, frame):
+        raise TimeoutError(
+            f"bench watchdog fired at {WATCHDOG_S}s — relay too slow to "
+            "finish inside the budget")
+
+    try:
+        signal.signal(signal.SIGALRM, on_alarm)
+        signal.alarm(WATCHDOG_S)
+    except (ValueError, AttributeError):
+        pass  # non-main thread / platform without SIGALRM
+
+    try:
+        fps = run_bench()
+    except BaseException as e:  # KeyboardInterrupt/SystemExit too: the
+        # artifact must record the outage rather than stay empty
+        log(f"bench failed: {type(e).__name__}: {e}")
+        emit(None, error=f"{type(e).__name__}: {e}")
+        sys.exit(0)  # the JSON line IS the (failure) result
+    finally:
+        try:
+            signal.alarm(0)
+        except (ValueError, AttributeError):
+            pass
+    emit(fps)
 
 
 if __name__ == "__main__":
