@@ -71,6 +71,18 @@ def _auto_block_rows(d: int, w: int, requested: int) -> int:
     return rows
 
 
+def _plain_block_rows(d: int, w: int, requested: int) -> int:
+    """Final chunk size for plain (non-carry) scans: VMEM-shrunk, then
+    rounded down to a sublane multiple.  The nsp P2 BlockSpec places the
+    chunk count in the second-to-last block dim, which Mosaic requires to
+    be 8-divisible — ``_auto_block_rows`` alone can return e.g. 48->6 for
+    large (D, W) volumes and fail the Mosaic compile (the census path has
+    always applied this guard; callers must pad the scan axis with the
+    value this function returns, not with the requested one)."""
+    rows = _auto_block_rows(d, w, requested)
+    return max(8, rows - rows % 8)
+
+
 def _divisor_block_rows(s: int, d: int, w: int, requested: int) -> int:
     """Largest divisor of s that fits the VMEM-derived row budget.
 
@@ -229,7 +241,8 @@ def _directional_scan_group(
         block_rows = _divisor_block_rows(s, d, p, block_rows)
     else:
         # shrink chunks for large (D, P); s is pre-padded by the caller
-        block_rows = _auto_block_rows(d, p, block_rows)
+        # with this same deterministic value (8-divisible for the nsp spec)
+        block_rows = _plain_block_rows(d, p, block_rows)
     assert s % block_rows == 0, (s, block_rows)
     grid = (b, s // block_rows)
 
@@ -420,6 +433,7 @@ def aggregate_paths(
     img = img_left.astype(jnp.int32)
 
     cost8 = cost.astype(jnp.int8)  # values <= 127 + border 127: exact
+    block_rows = _plain_block_rows(d, w, block_rows)
     hp = _round_up(h, block_rows)
 
     # ---- vertical groups (6 of 8 paths; 2 of 4) --------------------------
@@ -488,6 +502,7 @@ def aggregate_paths_wta(
     img = img_left.astype(jnp.int32)
 
     cost8 = cost.astype(jnp.int8)
+    block_rows = _plain_block_rows(d, w, block_rows)
     hp = _round_up(h, block_rows)
     pad_vol = ((0, 0), (0, hp - h), (0, 0), (0, 0))
 
@@ -543,6 +558,7 @@ def horizontal_partial(cost8: jnp.ndarray, img: jnp.ndarray, p1: int,
     # idempotent re-gate: this is also a public entry for parallel/tiles.py,
     # so the overflow check cannot live solely in aggregate_paths*
     compute16 = compute16 and int16_safe(p1, p2_init)
+    block_rows = _plain_block_rows(d, h, block_rows)
     wp = _round_up(w, block_rows)
     cost_t = jnp.pad(cost8.transpose(0, 3, 2, 1),
                      ((0, 0), (0, wp - w), (0, 0), (0, 0)))
@@ -1168,11 +1184,10 @@ def census_cost_volume_pallas(
     flat_l = img_left.reshape((-1, h_in, w))
     flat_r = img_right.reshape((-1, h_in, w))
     b = flat_l.shape[0]
-    block_rows = _auto_block_rows(d, w, block_rows)
     # the kernel's dynamic slab load needs an 8-aligned sublane offset
     # (r0 = chunk * block_rows), so the chunk size must be a multiple of 8
-    # — a user-passed 48 would shrink to 12 above and fail Mosaic compile
-    block_rows = max(8, block_rows - block_rows % 8)
+    # — a user-passed 48 would shrink to 12 and fail Mosaic compile
+    block_rows = _plain_block_rows(d, w, block_rows)
     hp = _round_up(h, block_rows)
 
     # 2-row census halo + slab-alignment padding, all resolved host-side.

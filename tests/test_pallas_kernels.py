@@ -255,6 +255,37 @@ def test_auto_block_rows_shrinks_for_large_volumes():
     assert _round_up(720, 32) % br == 0
 
 
+def test_plain_block_rows_sublane_divisible():
+    # ADVICE r3: the nsp P2 BlockSpec puts the chunk size in the
+    # second-to-last block dim, which Mosaic requires 8-divisible; the
+    # shared helper must round every shrink result down to a multiple of 8
+    from soc_project_stereo_matching_tpu.ops.pallas_kernels import (
+        _plain_block_rows)
+
+    for d, w, req in [(64, 450, 32), (128, 1280, 48), (256, 1500, 48),
+                      (512, 2048, 100), (16, 53, 12), (16, 53, 4)]:
+        br = _plain_block_rows(d, w, req)
+        assert br % 8 == 0 and br >= 8, (d, w, req, br)
+    # the motivating case: 48 shrinks through 24->12->6 without the guard
+    assert _plain_block_rows(128, 4096, 48) == 8
+
+
+@pytest.mark.parametrize("req", [12, 48])
+def test_aggregation_kernel_odd_block_rows(data, req):
+    # a non-multiple-of-8 request must still produce bit-equal results
+    # (caller padding and kernel chunking agree on the rounded value)
+    cost, img = data
+    opt = SGMOptions(max_disparity=D)
+    want = np.asarray(aggregation.aggregate_paths(cost, img, opt))
+    got = np.asarray(pk.aggregate_paths(cost, img, opt, block_rows=req))
+    np.testing.assert_array_equal(want, got)
+    f_want, i_want = pk.aggregate_paths_wta(cost, img, opt, block_rows=8)
+    f_got, i_got = pk.aggregate_paths_wta(cost, img, opt, block_rows=req)
+    for a, b in zip(tuple(f_want) + tuple(i_want),
+                    tuple(f_got) + tuple(i_got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_aggregation_kernel_full_uint8_cost_domain():
     # costs >= 128 ride as negative int8 bits into the kernel; the & 0xFF
     # recovery must keep parity with the jnp path over the full u8 range
