@@ -33,6 +33,13 @@ from . import metrics as M
 
 PathLike = Union[str, Path]
 
+# Stamped into every stats file.  Durations are RTT-cancelled device times
+# (utils/profiling.chained_match_time), NOT the reference's wall-clock
+# network round trips — resuming must not silently blend the two
+# definitions in one file (ADVICE r3), so resume refuses a file written
+# under any other methodology (including pre-stamp files).
+TIMING_METHODOLOGY = "chained-rtt-cancelled"
+
 
 @dataclasses.dataclass
 class HarnessConfig:
@@ -161,11 +168,7 @@ class EvaluationHarness:
         from ..data.pipeline import batched_pair_stream
         from ..utils.profiling import chained_match_time
 
-        done = {}
-        if self.config.resume and self.config.stats_path \
-                and Path(self.config.stats_path).exists():
-            prev = json.loads(Path(self.config.stats_path).read_text())
-            done = {m["name"]: m for m in prev.get("measurements", [])}
+        done = self._load_resume()
         todo = [f for f in folders
                 if getattr(f, "name", None) not in done]
         measurements: List[dict] = [
@@ -210,31 +213,60 @@ class EvaluationHarness:
             m["seq"] = i
         return measurements
 
+    def _load_resume(self) -> Dict[str, dict]:
+        """Prior measurements keyed by pair name, when resuming.
+
+        Refuses a stats file written under a different (or pre-stamp,
+        i.e. wall-clock) timing methodology: blending RTT-inclusive and
+        RTT-cancelled durations in one file would corrupt its fps."""
+        if not (self.config.resume and self.config.stats_path
+                and Path(self.config.stats_path).exists()):
+            return {}
+        prev = json.loads(Path(self.config.stats_path).read_text())
+        meth = prev.get("timing_methodology")
+        if prev.get("measurements") and meth != TIMING_METHODOLOGY:
+            raise ValueError(
+                f"stats file {self.config.stats_path} was written under "
+                f"timing methodology {meth!r}; this harness writes "
+                f"{TIMING_METHODOLOGY!r} durations — resuming would mix "
+                "the two definitions in one file. Use a fresh --stats "
+                "path (or delete the old file) instead.")
+        return {m["name"]: m for m in prev.get("measurements", [])}
+
     # -- full run -----------------------------------------------------------
     def run(self, folders: Sequence[PathLike], client_id: str = "tpu-engine") -> dict:
-        done = {}
-        if self.config.resume and self.config.stats_path \
-                and Path(self.config.stats_path).exists():
-            prev = json.loads(Path(self.config.stats_path).read_text())
-            done = {m["name"]: m for m in prev.get("measurements", [])}
+        """Sequential (unbatched) evaluation with background IO: pair
+        loading runs on a prefetch thread so disk/decode overlaps device
+        compute, the same double-buffering the reference's superloop gets
+        from its two-slot shared memory (main.c:224-233)."""
+        from ..data.pipeline import PrefetchIterator
+
+        done = self._load_resume()
+
+        def staged():
+            # producer thread: loads happen here, overlapping evaluate_pair
+            for folder in folders:
+                # resume fast path: lazy handles (KittiFrameRef, Path)
+                # carry a .name — skip loading the frame entirely
+                hint = getattr(folder, "name", None)
+                if hint is not None and hint in done:
+                    yield hint, None
+                else:
+                    yield None, load_pair(folder)
 
         measurements: List[dict] = []
-        for seq, folder in enumerate(folders):
-            # resume fast path: lazy handles (KittiFrameRef, Path) carry a
-            # .name — skip loading the frame entirely when already done
-            hint = getattr(folder, "name", None)
-            if hint is not None and hint in done:
-                m = dict(done[hint])
-            else:
-                pair = load_pair(folder)
-                if pair.name in done:
+        with PrefetchIterator(staged(), depth=2) as stream:
+            for seq, (hint, pair) in enumerate(stream):
+                if pair is None:
+                    m = dict(done[hint])
+                elif pair.name in done:
                     m = dict(done[pair.name])
                 else:
                     m = self.evaluate_pair(pair)
-            m["seq"] = seq
-            measurements.append(m)
-            if self.config.stats_path:
-                self._write_stats(client_id, measurements)
+                m["seq"] = seq
+                measurements.append(m)
+                if self.config.stats_path:
+                    self._write_stats(client_id, measurements)
 
         return self._write_stats(client_id, measurements)
 
@@ -243,6 +275,7 @@ class EvaluationHarness:
         stats = {
             "client": client_id,
             "timestamp": time.strftime("%Y-%m-%d %H:%M:%S", time.localtime()),
+            "timing_methodology": TIMING_METHODOLOGY,
             "total_frames": len(measurements),
             "total_time_s": total_time,
             "fps": len(measurements) / total_time if total_time > 0 else 0,

@@ -270,6 +270,37 @@ def test_harness_end_to_end_and_resume(reference_dir, tmp_path):
     assert stats2["measurements"][0]["duration_s"] == m["duration_s"]
 
 
+def test_harness_resume_refuses_foreign_timing_methodology(
+        reference_dir, tmp_path):
+    """Resuming a stats file written under another timing definition
+    (e.g. a pre-stamp wall-clock file) must refuse, not silently blend
+    RTT-inclusive and RTT-cancelled durations (ADVICE r3)."""
+    import pytest
+
+    from soc_project_stereo_matching_tpu import SGMOptions
+    from soc_project_stereo_matching_tpu.eval.harness import (
+        EvaluationHarness, HarnessConfig, TIMING_METHODOLOGY)
+
+    cone = reference_dir / "SemiGlobalMatching" / "Data" / "cone"
+    stats_path = tmp_path / "old.json"
+    stats_path.write_text(json.dumps({
+        "client": "x", "total_frames": 1, "total_time_s": 1.0, "fps": 1.0,
+        "measurements": [{"name": "cone", "seq": 0, "duration_s": 1.0}],
+    }))  # no timing_methodology field = old wall-clock definition
+    cfg = HarnessConfig(max_disparity=64, resume=True, stats_path=stats_path,
+                        timing_iters=2, timing_repeats=1)
+    h = EvaluationHarness(SGMOptions(is_remove_speckles=False), cfg)
+    with pytest.raises(ValueError, match="timing methodology"):
+        h.run([cone])
+    with pytest.raises(ValueError, match="timing methodology"):
+        h.run_batched([cone])
+
+    # an empty prior file is harmless regardless of its stamp
+    stats_path.write_text(json.dumps({"measurements": []}))
+    stats = h.run([cone])
+    assert stats["timing_methodology"] == TIMING_METHODOLOGY
+
+
 def test_kitti2015_layout(tmp_path):
     import numpy as np
     from PIL import Image
