@@ -77,10 +77,25 @@ def run_sgbm_client(host: str, port: int, num_disparities: int = 176,
     return frames
 
 
-def collect_new_stats(stats_dir: Path, before: set) -> dict:
-    new = [p for p in stats_dir.glob("*.txt") if p not in before]
-    assert len(new) == 1, (new, sorted(stats_dir.glob("*.txt")))
-    return json.loads(new[0].read_text())
+def collect_new_stats(stats_dir: Path, before: set,
+                      timeout_s: float = 30.0) -> dict:
+    """Poll for the handler thread's stats flush (it happens on the server's
+    client thread after disconnect) — a fixed sleep raced a slow flush and
+    died by assertion after the expensive SGBM/engine pass already ran."""
+    deadline = time.monotonic() + timeout_s
+    while True:
+        new = [p for p in stats_dir.glob("*.txt") if p not in before]
+        if len(new) > 1:
+            raise RuntimeError(f"expected one new stats file, got {new}")
+        if new:
+            try:
+                return json.loads(new[0].read_text())
+            except json.JSONDecodeError:
+                pass                    # mid-write: poll again
+        if time.monotonic() >= deadline:
+            raise RuntimeError(
+                f"no stats file appeared in {stats_dir} within {timeout_s}s")
+        time.sleep(0.1)
 
 
 def main():
@@ -114,7 +129,6 @@ def main():
     try:
         before = set(tmp.glob("*.txt"))
         n = run_sgbm_client("127.0.0.1", port)
-        time.sleep(1.0)              # let the server flush the stats file
         sgbm = collect_new_stats(tmp, before)
         log(f"SGBM client scored {n} frames")
 
@@ -122,7 +136,6 @@ def main():
         n = run_client("127.0.0.1", port,
                        options=SGMOptions(max_disparity=args.engine_dmax),
                        calib_every_frame=True)
-        time.sleep(1.0)
         engine = collect_new_stats(tmp, before)
         log(f"TPU-engine client scored {n} frames")
     finally:

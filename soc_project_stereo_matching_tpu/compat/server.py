@@ -40,6 +40,15 @@ from . import protocol as proto
 log = logging.getLogger("soc_sgm_tpu.compat.server")
 
 
+class _ClientLogAdapter(logging.LoggerAdapter):
+    """Per-client log tagging, the reference server's ergonomics
+    (HostScript_Server/server.py:43-51): every line a client handler emits
+    carries its id without per-call-site interpolation."""
+
+    def process(self, msg, kwargs):
+        return f"[{self.extra['client_id']}] {msg}", kwargs
+
+
 @dataclass
 class Measurement:
     seq: int
@@ -88,7 +97,8 @@ class CompatServer:
     # -- client handling ------------------------------------------------------
     def _handle_client(self, conn: socket.socket, addr) -> None:
         client_id = f"{addr[0]}:{addr[1]}"
-        log.info("[+] new connection from %s", client_id)
+        clog = _ClientLogAdapter(log, {"client_id": client_id})
+        clog.info("[+] new connection")
         seq = 0
         measurements: List[Measurement] = []
         try:
@@ -116,7 +126,7 @@ class CompatServer:
                     end_time = time.time()
                     seq_comp, depth = proto.recv_depth_image(conn)
                     if depth.shape != (self.height, self.width):
-                        log.warning("size mismatch: %s", depth.shape)
+                        clog.warning("size mismatch: %s", depth.shape)
                         conn.sendall(struct.pack("<B", proto.REQ_CLOSE))
                         break
                     pair = self._load(seq_comp)
@@ -126,17 +136,17 @@ class CompatServer:
                         m = measurements[seq_comp]
                         m.end_time, m.rmse, m.bpr, m.n_valid = (
                             end_time, res.rmse, res.bpr, res.n_valid)
-                    log.info("seq=%d rmse=%.2f bpr=%.4f n=%d",
-                             seq_comp, res.rmse, res.bpr, res.n_valid)
+                    clog.info("seq=%d rmse=%.2f bpr=%.4f n=%d",
+                              seq_comp, res.rmse, res.bpr, res.n_valid)
                 else:
-                    log.warning("unknown request %d", request)
+                    clog.warning("unknown request %d", request)
         except (ConnectionError, OSError) as e:
-            log.error("connection error with %s: %s", client_id, e)
+            clog.error("connection error: %s", e)
         finally:
             conn.close()
-        self._write_stats(addr, client_id, measurements)
+        self._write_stats(addr, client_id, measurements, clog)
 
-    def _write_stats(self, addr, client_id, measurements) -> None:
+    def _write_stats(self, addr, client_id, measurements, clog=log) -> None:
         done = [m for m in measurements if not math.isnan(m.end_time)]
         duration = sum(m.duration() for m in done)
         fps = len(done) / duration if duration > 0 else 0
@@ -154,7 +164,7 @@ class CompatServer:
         }
         path = self.stats_dir / f"{addr[0]}_{addr[1]}.txt"
         path.write_text(json.dumps(stats, ensure_ascii=False, indent=2))
-        log.info("stats -> %s (frames=%d fps=%.2f)", path, len(done), fps)
+        clog.info("stats -> %s (frames=%d fps=%.2f)", path, len(done), fps)
 
     # -- lifecycle ------------------------------------------------------------
     def start(self) -> int:
