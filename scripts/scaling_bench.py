@@ -13,9 +13,15 @@ chips.
 from __future__ import annotations
 
 import argparse
+import json
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
 
 
 def main():
@@ -29,9 +35,23 @@ def main():
     ap.add_argument("--max-disparity", type=int, default=64)
     ap.add_argument("--cross-tile", choices=("exact", "pipelined", "local"),
                     default="exact")
+    ap.add_argument("--json", type=Path, default=None,
+                    help="append a result record to this JSON file")
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # the axon TPU plugin overrides the JAX_PLATFORMS env var; a CPU
+    # virtual-mesh run must force the platform through the config API
+    # (same dance as __graft_entry__.dryrun_multichip / tests/conftest.py)
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
+
     import jax.numpy as jnp
 
     from soc_project_stereo_matching_tpu import SGMOptions
@@ -45,6 +65,7 @@ def main():
 
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev]
     base_fps = None
+    rows = []
     for n in sizes:
         if args.mode == "data":
             data, tile = n, 1
@@ -68,9 +89,35 @@ def main():
         if base_fps is None:
             base_fps = fps
         eff = fps / (base_fps * n)
+        rows.append({"devices": n, "mesh": f"{data}x{tile}", "batch": b,
+                     "ms_per_step": round(dt * 1e3, 2),
+                     "fps": round(fps, 1),
+                     "scaling_eff": round(eff, 4)})
         print(f"devices={n:2d} mesh=({data}x{tile}) batch={b:3d} "
               f"{dt * 1e3:8.2f} ms/step  {fps:8.1f} fps  "
               f"scaling-eff={eff:6.1%}")
+
+    if args.json:
+        platform = jax.default_backend()
+        record = {
+            "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "platform": platform,
+            # virtual CPU devices validate the sharded PROGRAM (compile +
+            # collectives + bit-equal output); their wall-clock does not
+            # measure ICI scaling — see PARITY.md's multi-chip disclosure
+            "wall_clock_meaningful": platform == "tpu" and ndev > 1,
+            "mode": args.mode, "cross_tile": args.cross_tile,
+            "shape": {"batch_per_device": args.batch, "h": args.height,
+                      "w": args.width, "d": args.max_disparity},
+            "rows": rows,
+        }
+        prev = []
+        if args.json.exists():
+            prev = json.loads(args.json.read_text())
+        prev.append(record)
+        args.json.parent.mkdir(parents=True, exist_ok=True)
+        args.json.write_text(json.dumps(prev, indent=2))
+        print(f"appended to {args.json}")
 
 
 if __name__ == "__main__":

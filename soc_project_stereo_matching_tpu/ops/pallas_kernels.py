@@ -772,6 +772,10 @@ def _ceil_log2(n: int) -> int:
 # compile, 1.5M spills 143M — so cap just above 720p).
 _SPECKLE_VMEM_PIXELS = 950_000
 
+# Lane width of the banded histogram/verdict pixel chunks (tests shrink it
+# to exercise banding on small frames).
+_SPECKLE_PC = 2048
+
 
 def _cc_propagate(get_val, set_val, get_mask, *, h: int, w: int, big):
     """Min-propagate a VMEM plane to its per-component fixed point.
@@ -866,10 +870,11 @@ def _speckle_labels_kernel(disp_ref, out_ref, mask_ref,
     ceil_log2(w)) — the same lexicographic (row, col) order as flat
     indices, so min-propagation converges to the component's top-leftmost
     pixel, but the high/low bit split of a label IS its (row, col): the
-    histogram's count for a component lands at its root pixel's position,
-    which the filter kernel can then read elementwise (no gather, no
-    second lookup matmul).  The packed edge bitmask is emitted through
-    ``mask_ref`` for reuse by the filter kernel.
+    histogram's count for a component lands at its root pixel's position
+    in the (h, 1 << lo_bits) root plane.  The packed edge bitmask lives in
+    the ``mask_ref`` VMEM scratch — nothing downstream needs it (the
+    verdict is delivered by a banded MXU gather, not a second
+    propagation), so it never touches HBM.
     """
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -898,105 +903,117 @@ def _speckle_labels_kernel(disp_ref, out_ref, mask_ref,
     masks = jnp.zeros((h, w), jnp.int32)
     for bit, (dr, dc) in enumerate(_CC_OFFSETS):
         masks = masks | jnp.where(edge(dr, dc), 1 << bit, 0)
-    mask_ref[0] = masks
+    mask_ref[...] = masks
     out_ref[0] = (row_iota << lo_bits) | lane_iota
 
     _cc_propagate(lambda: out_ref[0], lambda v: out_ref.__setitem__(0, v),
-                  lambda: mask_ref[0], h=h, w=w, big=jnp.int32(h << lo_bits))
+                  lambda: mask_ref[...], h=h, w=w,
+                  big=jnp.int32(h << lo_bits))
 
 
-def _speckle_filter_kernel(disp_ref, lab_ref, mask_ref, counts_ref, out_ref,
-                           flag_ref, *, h: int, w: int, min_area: int,
-                           lo_bits: int):
-    """Deliver the small-component verdict and filter, entirely in VMEM.
+def _speckle_band_geometry(h: int, w: int, min_area: int,
+                           pc: int = 2048) -> tuple:
+    """(chunks per group, row band, padded hist rows) for the banded
+    speckle matmuls.
 
-    ``counts_ref`` is the (h, 1 << lo_bits) histogram of labels over
-    finite pixels: a bin is non-zero only at a component root's own
-    (row, col) position (labels are root coordinates, see the label
-    kernel), so ``root_small`` is an elementwise read.  The verdict
-    reaches every member by min-propagating 0 from small roots over the
-    same edge bitmask; small components have < min_area pixels, hence
-    tiny diameter, so this converges in a couple of rounds."""
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    disp = disp_ref[0]
-    lab = lab_ref[0]
-    counts = counts_ref[0][:, :w]                    # (h, w) f32
-    big = jnp.int32(h << lo_bits)
+    A component with < min_area pixels lies within min_area-1 rows BELOW
+    its root (the top-leftmost member has the minimum row): any member
+    connects to the root by a path of <= area-1 < min_area pixels, which
+    crosses < min_area rows.  Two exactness consequences:
 
-    myidx = (row_iota << lo_bits) | lane_iota
-    root_small = (lab == myidx) & (counts > 0) \
-        & (counts < jnp.float32(min_area))
-    flag_ref[...] = jnp.where(root_small, 0, big)
+    * histogram: counting only pixels whose root row is within the band
+      keeps every small component's count exact, and a component whose
+      members reach past the band contains >= min_area in-band path
+      pixels (one per crossed row), so it still classifies as not-small;
+    * verdict gather: a pixel whose root row is above the band belongs to
+      a component spanning >= min_area rows — not small — and the banded
+      gather's implicit zero is exactly that verdict.
 
-    _cc_propagate(lambda: flag_ref[...],
-                  lambda v: flag_ref.__setitem__(..., v),
-                  lambda: mask_ref[0], h=h, w=w, big=big)
+    So both contractions only touch a [start, start+band) slice of the
+    (h, 1 << lo_bits) root plane.  The group size is chosen so the band
+    fits one 128-row MXU block — that cap is what makes banding cheaper
+    than the full-height contraction (~h/128 x fewer MACs)."""
+    h_hist = _round_up(h, 8)
+    g = 1
+    for cand in range(16, 0, -1):
+        rows = -(-cand * pc // w) + 1
+        if _round_up(rows + (min_area - 1) + 8, 8) <= 128:
+            g = cand
+            break
+    rows = -(-g * pc // w) + 1
+    band = min(h_hist, _round_up(rows + (min_area - 1) + 8, 8))
+    return g, band, h_hist
 
-    small = flag_ref[...] == 0
-    finite = jnp.isfinite(disp)
-    out_ref[0] = jnp.where(finite & small, jnp.float32(jnp.inf), disp)
+
+def _speckle_band_start(gi, *, g: int, pc: int, w: int, a: int, band: int,
+                        h_hist: int):
+    """8-aligned first root row of group ``gi``'s band (see
+    ``_speckle_band_geometry``): covers [r - (a-1), r] for every pixel
+    row r the group touches, clamped into the padded plane."""
+    rlo = (gi * g * pc) // w
+    start = jnp.maximum(rlo - (a - 1), 0)
+    return jnp.minimum((start // 8) * 8, h_hist - band)
 
 
-def _hist_kernel(lab_ref, fin_ref, out_ref, *, pc: int, khi: int,
-                 lo_bits: int):
-    """MXU histogram: label l splits into (l >> lo_bits, l & lo_mask) =
-    its root's (row, col); per grid chunk the two one-hot matrices (built
-    in VMEM, pixels on the lane axis) contract on the MXU into a
-    (KHI=h, 1 << lo_bits) f32 count plane accumulated across the chunk
-    grid dimension.  Replaces XLA scatter-add, which TPU executes
-    near-serially; counts < 2^24 accumulate exactly in f32 and one-hots
-    are exact in bf16."""
-    chunk = pl.program_id(1)
+def _speckle_hist_kernel(lab_ref, out_ref, *, g: int, pc: int, band: int,
+                         lo_bits: int, a: int, w: int, h_hist: int):
+    """Banded MXU histogram: label l splits into (l >> lo_bits, l & mask)
+    = its root's (row, col); per group of g pixel chunks the two one-hot
+    matrices (pixels on the lane axis) contract on the MXU into a
+    (band, 1 << lo_bits) f32 tile accumulated into the root plane at the
+    group's band offset.  Replaces XLA scatter-add (near-serial on TPU);
+    counts < 2^24 accumulate exactly in f32, one-hots are exact in bf16.
+    Invalid and padded pixels carry the sentinel label h_hist << lo_bits,
+    whose row can never match an in-band iota."""
+    gi = pl.program_id(1)
     lo = 1 << lo_bits
 
-    @pl.when(chunk == 0)
+    @pl.when(gi == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (khi, pc), 0)
-    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (lo, pc), 0)
-    lab = lab_ref[0, 0]                                   # (1, Pc) int32
-    fin = fin_ref[0, 0]
-    a = ((lab >> lo_bits) == hi_iota) & (fin != 0)        # (KHI, Pc)
-    bm = (lab & (lo - 1)) == lo_iota                      # (LO, Pc)
-    out_ref[0] += jax.lax.dot_general(
-        a.astype(jnp.bfloat16), bm.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    start = _speckle_band_start(gi, g=g, pc=pc, w=w, a=a, band=band,
+                                h_hist=h_hist)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (band, pc), 0) + start
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (lo, pc), 0)
+    tile = lab_ref[0, 0]                                  # (g, Pc) int32
+    acc = jnp.zeros((band, lo), jnp.float32)
+    for j in range(g):
+        row = tile[j:j + 1]                               # (1, Pc)
+        am = (k_iota == (row >> lo_bits)).astype(jnp.bfloat16)
+        pm = (l_iota == (row & (lo - 1))).astype(jnp.bfloat16)
+        acc += jax.lax.dot_general(
+            am, pm, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out_ref[0, pl.dslice(start, band), :] += acc
 
 
-def _label_counts(labels: jnp.ndarray, finite: jnp.ndarray, h: int,
-                  lo_bits: int) -> jnp.ndarray:
-    """(B, N) int32 root-coordinate labels -> (B, h, 1 << lo_bits) f32
-    counts of finite pixels per label, addressed by the root's (row, col)."""
-    b, n = labels.shape
-    pc = 2048
-    npad = _round_up(n, pc)
-    nchunks = npad // pc
-    # (B, nchunks, 1, Pc): 4D so per-chunk blocks satisfy the (8,128)/equal
-    # BlockSpec rule, and the chunk loop rides the grid (compile stays O(1)
-    # in image size — a static in-kernel loop blew up Mosaic compile time).
-    lab_p = jnp.pad(labels, ((0, 0), (0, npad - n))).reshape(b, nchunks, 1, pc)
-    fin_p = jnp.pad(finite.astype(jnp.int32),
-                    ((0, 0), (0, npad - n))).reshape(b, nchunks, 1, pc)
-    chunk_spec = pl.BlockSpec((1, 1, 1, pc), lambda bi, ci: (bi, ci, 0, 0),
-                              memory_space=pltpu.VMEM)
+def _speckle_verdict_kernel(lab_ref, m_ref, out_ref, *, g: int, pc: int,
+                            band: int, lo_bits: int, a: int, w: int,
+                            h_hist: int):
+    """Banded MXU gather of the root-small verdict: v(p) =
+    M[root_row(p), root_col(p)] via Q = M_band @ onehot_col followed by a
+    sublane-reduced elementwise product with onehot_row — one exact 0/1
+    per pixel, no second propagation pass over the frame (each small
+    component's verdict is read from its root, not flooded to it)."""
+    gi = pl.program_id(1)
     lo = 1 << lo_bits
-    # same raised VMEM cap as the sibling speckle kernels: the resident
-    # (h, lo) f32 accumulator plus the two one-hot operands of the
-    # dot_general exceed the default scoped-VMEM budget on wide frames
-    return pl.pallas_call(
-        functools.partial(_hist_kernel, pc=pc, khi=h, lo_bits=lo_bits),
-        grid=(b, nchunks),
-        in_specs=[chunk_spec, chunk_spec],
-        out_specs=pl.BlockSpec((1, h, lo), lambda bi, ci: (bi, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, lo), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=116 * 1024 * 1024),
-        interpret=_interpret(),
-    )(lab_p, fin_p)
+    start = _speckle_band_start(gi, g=g, pc=pc, w=w, a=a, band=band,
+                                h_hist=h_hist)
+    m_band = m_ref[0, pl.dslice(start, band), :]
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (band, pc), 0) + start
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (lo, pc), 0)
+    tile = lab_ref[0, 0]                                  # (g, Pc) int32
+    rows = []
+    for j in range(g):
+        row = tile[j:j + 1]                               # (1, Pc)
+        am = (k_iota == (row >> lo_bits)).astype(jnp.float32)
+        pm = (l_iota == (row & (lo - 1))).astype(jnp.bfloat16)
+        q = jax.lax.dot_general(                          # (band, Pc)
+            m_band, pm, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        rows.append(jnp.sum(am * q, axis=0, keepdims=True))
+    out_ref[0, 0] = jnp.concatenate(rows, axis=0)         # (g, Pc)
 
 
 @functools.partial(jax.jit, static_argnames=("diff_insame", "min_area"))
@@ -1051,37 +1068,72 @@ def remove_speckles_pallas(disp: jnp.ndarray, diff_insame: float = 1.0,
     flat = disp.reshape((-1, h, w))
     b = flat.shape[0]
     lo_bits = max(_ceil_log2(w), 7)   # label = (row << lo_bits) | col
+    lo = 1 << lo_bits
     plane = pl.BlockSpec((1, h, w), lambda bi: (bi, 0, 0),
                          memory_space=pltpu.VMEM)
     vmem_params = pltpu.CompilerParams(vmem_limit_bytes=116 * 1024 * 1024)
 
-    labels, masks = pl.pallas_call(
+    labels = pl.pallas_call(
         functools.partial(_speckle_labels_kernel, h=h, w=w,
                           diff=float(diff_insame), lo_bits=lo_bits),
         grid=(b,),
         in_specs=[plane],
-        out_specs=[plane, plane],
-        out_shape=[jax.ShapeDtypeStruct((b, h, w), jnp.int32)] * 2,
+        out_specs=plane,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((h, w), jnp.int32)],  # edge bitmask
         compiler_params=vmem_params,
         interpret=_interpret(),
     )(flat)
 
-    counts = _label_counts(labels.reshape(b, -1),
-                           jnp.isfinite(flat).reshape(b, -1), h, lo_bits)
+    # Banded histogram + verdict gather (see _speckle_band_geometry).
+    # Invalid pixels get the out-of-band sentinel label so neither phase
+    # needs a separate finite mask.
+    pc = _SPECKLE_PC
+    g, band, h_hist = _speckle_band_geometry(h, w, min_area, pc)
+    n = h * w
+    npad = _round_up(n, g * pc)
+    ngroups = npad // (g * pc)
+    sentinel = h_hist << lo_bits
+    lab_flat = jnp.where(jnp.isfinite(flat), labels,
+                         jnp.int32(sentinel)).reshape(b, n)
+    lab_flat = jnp.pad(lab_flat, ((0, 0), (0, npad - n)),
+                       constant_values=sentinel)
+    lab_grp = lab_flat.reshape(b, ngroups, g, pc)
+    grp_spec = pl.BlockSpec((1, 1, g, pc), lambda bi, gi: (bi, gi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    hist_args = dict(g=g, pc=pc, band=band, lo_bits=lo_bits,
+                     a=int(min_area), w=w, h_hist=h_hist)
 
-    out = pl.pallas_call(
-        functools.partial(_speckle_filter_kernel, h=h, w=w,
-                          min_area=min_area, lo_bits=lo_bits),
-        grid=(b,),
-        in_specs=[plane, plane, plane,
-                  pl.BlockSpec((1, h, 1 << lo_bits), lambda bi: (bi, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=plane,
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((h, w), jnp.int32)],  # verdict plane
+    counts = pl.pallas_call(
+        functools.partial(_speckle_hist_kernel, **hist_args),
+        grid=(b, ngroups),
+        in_specs=[grp_spec],
+        out_specs=pl.BlockSpec((1, h_hist, lo), lambda bi, gi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h_hist, lo), jnp.float32),
         compiler_params=vmem_params,
         interpret=_interpret(),
-    )(flat, labels, masks, counts)
+    )(lab_grp)
+
+    # a bin is non-zero only at a component root's own (row, col): labels
+    # ARE root coordinates after convergence, so this is the whole verdict
+    root_small = ((counts > 0)
+                  & (counts < jnp.float32(min_area))).astype(jnp.bfloat16)
+
+    verdict = pl.pallas_call(
+        functools.partial(_speckle_verdict_kernel, **hist_args),
+        grid=(b, ngroups),
+        in_specs=[grp_spec,
+                  pl.BlockSpec((1, h_hist, lo), lambda bi, gi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=grp_spec,
+        out_shape=jax.ShapeDtypeStruct((b, ngroups, g, pc), jnp.float32),
+        compiler_params=vmem_params,
+        interpret=_interpret(),
+    )(lab_grp, root_small)
+
+    small = verdict.reshape(b, npad)[:, :n].reshape(b, h, w) > 0
+    out = jnp.where(jnp.isfinite(flat) & small, jnp.float32(jnp.inf), flat)
     out = out.reshape(batch + (h, w))
     return out[0] if unbatched else out
 

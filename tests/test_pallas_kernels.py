@@ -228,6 +228,44 @@ def test_speckle_strip_decomposition_exact():
     assert ((np.isinf(want) == np.isinf(got)) & (both_inf | (want == got))).all()
 
 
+def test_speckle_banded_histogram_exact():
+    """Exercise the banded histogram/verdict path with band < h (the big
+    frames where banding pays; small test frames otherwise degenerate to
+    the full-height band).  Structures chosen to stress the banding
+    proofs: a full-height line (root far above every low member's band —
+    the gather's implicit zero must mean not-small), lines of exactly
+    min_area and min_area-1 pixels placed low in the frame, and a speck
+    adjacent to the band start."""
+    h, w, area = 88, 64, 5
+    rng = np.random.default_rng(31)
+    d = rng.integers(0, 6, (h, w)).astype(np.float32)
+    d[rng.random((h, w)) < 0.55] = np.inf
+    d[:, 10] = 3.0        # h-pixel vertical line: area 88 >> 5, kept
+    d[:, 9] = np.inf      # isolate it
+    d[:, 11] = np.inf
+    d[70:75, 30] = 3.0    # exactly min_area: kept
+    d[80:84, 40] = 3.0    # min_area-1: removed
+    d[29:31, 50] = 3.0    # wide-gap speck at a band-aligned row
+    for c in (29, 31, 39, 41, 49, 51):
+        d[d.shape[0] - 20:, c] = np.inf
+    dj = jnp.asarray(d)
+    want = np.asarray(postprocess.remove_speckles(dj, 1.0, area))
+
+    orig = pk._SPECKLE_PC
+    try:
+        pk._SPECKLE_PC = 256
+        g, band, h_hist = pk._speckle_band_geometry(h, w, area, 256)
+        assert band < h_hist, (g, band, h_hist)   # banding really active
+        got = np.asarray(pk.remove_speckles_pallas(dj, 1.0, area))
+    finally:
+        pk._SPECKLE_PC = orig
+    both_inf = np.isinf(want) & np.isinf(got)
+    assert ((np.isinf(want) == np.isinf(got))
+            & (both_inf | (want == got))).all()
+    assert np.isinf(got[81, 40]) and not np.isinf(got[72, 30])
+    assert not np.isinf(got[h - 1, 10])
+
+
 def test_full_pipeline_pallas_vs_jnp():
     from soc_project_stereo_matching_tpu.models.sgm import sgm_forward
 
