@@ -76,8 +76,9 @@ def run_config(name, w, h, d, batch, iters=4, tiled=False, dmin=0):
         engine = SGMEngine(opts, EngineConfig(use_pallas=True))
         match = engine._batched
 
-    dt_call, out0, (compile_s, first_s) = chained_match_time(
-        match, lefts, rights, iters=iters, return_compile=True)
+    dt_call, out0, (compile_s, first_s, samples) = chained_match_time(
+        match, lefts, rights, iters=iters, return_compile=True,
+        compile_repeats=2)
     dt = dt_call / batch
     valid = float(np.isfinite(out0[0]).mean())
     res = {"config": name, "width": w, "height": h, "max_disparity": d,
@@ -87,11 +88,15 @@ def run_config(name, w, h, d, batch, iters=4, tiled=False, dmin=0):
            "valid_frac": round(valid, 3),
            # structural .lower().compile() wall time vs the first dispatch
            # through the lazily-executing relay — kept separate so tunnel
-           # weather can't masquerade as compile time (BENCH_r02 lesson)
+           # weather can't masquerade as compile time (BENCH_r02 lesson);
+           # min of compile_samples so one weather-struck attempt can't
+           # become the record (the r3 kitti2012 1019 s outlier)
            "compile_s": round(compile_s, 1),
+           "compile_samples_s": [round(s, 1) for s in samples],
            "first_dispatch_s": round(first_s, 1)}
     log(f"{name}: {res['ms_per_frame']} ms/frame ({res['fps_per_chip']} fps)"
         f" valid_frac={valid:.3f} compile={compile_s:.0f}s"
+        f" (samples {res['compile_samples_s']})"
         f" first_dispatch={first_s:.0f}s tiled={tiled}")
     return res
 
