@@ -76,8 +76,34 @@ def main():
     cost0 = jnp.asarray(rng.integers(0, 128, (B, H, D, W), dtype=np.uint8))
     aggr0 = jnp.asarray(rng.integers(0, 2040, (B, H, D, W), dtype=np.uint16))
     disp0 = jnp.asarray(rng.uniform(0, 64, (B, H, W)).astype(np.float32))
+    speckle_input = "random"
+    try:
+        # The speckle stage's propagation round count is DATA-dependent
+        # (random noise fragments into tiny fast-converging components;
+        # real content has large snaking regions needing ~15 rounds on
+        # cone) — feed it a real pre-speckle pipeline output so the stage
+        # number reflects production convergence behaviour.
+        import dataclasses
+
+        from soc_project_stereo_matching_tpu.data.imageio import (
+            load_image_gray_stb)
+
+        base = "/root/reference/SemiGlobalMatching/Data/cone/"
+        cl_, cr_ = (load_image_gray_stb(base + "im2.png"),
+                    load_image_gray_stb(base + "im6.png"))
+        if cl_.shape == (H, W):
+            no_spk = dataclasses.replace(OPT, is_remove_speckles=False)
+            disp0 = sgm_forward(
+                jnp.asarray(np.broadcast_to(cl_, (B, H, W))),
+                jnp.asarray(np.broadcast_to(cr_, (B, H, W))),
+                no_spk, use_pallas=use_pallas)
+            disp0.block_until_ready()
+            speckle_input = "cone pre-speckle (real component structure)"
+    except Exception as e:
+        print(f"falling back to random speckle input: {e}")
     print(f"backend={jax.default_backend()} pallas={use_pallas} "
-          f"B={B} H={H} W={W} D={D} iters={ITERS}")
+          f"B={B} H={H} W={W} D={D} iters={ITERS} "
+          f"speckle_input={speckle_input}")
 
     if use_pallas:
         from soc_project_stereo_matching_tpu.ops import pallas_kernels as pk
@@ -167,6 +193,7 @@ def main():
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
         "backend": jax.default_backend(), "pallas": use_pallas,
         "batch": B, "height": H, "width": W, "max_disparity": D,
+        "speckle_input": speckle_input,
         "ms_per_frame": RESULTS}, indent=2))
     print(f"wrote {out}")
 
