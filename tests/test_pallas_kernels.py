@@ -228,6 +228,31 @@ def test_speckle_strip_decomposition_exact():
     assert ((np.isinf(want) == np.isinf(got)) & (both_inf | (want == got))).all()
 
 
+def test_speckle_band_geometry_covers_every_window():
+    """Property: for every pixel row r a group touches, the band
+    [start, start+band) contains the whole root window [max(0, r-(a-1)), r]
+    — the invariant both banded kernels' exactness proofs rest on."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        h = int(rng.integers(8, 1200))
+        w = int(rng.integers(16, 2048))
+        a = int(rng.integers(1, 200))
+        pc = int(rng.choice([256, 1024, 2048]))
+        g, band, h_hist = pk._speckle_band_geometry(h, w, a, pc)
+        assert band % 8 == 0 and band <= h_hist and h_hist >= h
+        n = h * w
+        ngroups = -(-n // (g * pc))
+        for gi in range(ngroups):
+            rlo = (gi * g * pc) // w
+            rhi = min(((gi + 1) * g * pc - 1) // w, h - 1)
+            start = min((max(rlo - (a - 1), 0) // 8) * 8, h_hist - band)
+            assert start >= 0 and start % 8 == 0
+            assert start <= max(rlo - (a - 1), 0), (h, w, a, pc, gi)
+            assert start + band > rhi, (h, w, a, pc, gi, start, band, rhi)
+
+
 def test_speckle_banded_histogram_exact():
     """Exercise the banded histogram/verdict path with band < h (the big
     frames where banding pays; small test frames otherwise degenerate to
