@@ -20,6 +20,12 @@ import time
 # missing plugin).  Identical immediate failures should surface, not retry.
 _IMMEDIATE_FAIL_S = 10.0
 
+# ...unless the fast failure is outage-shaped: the axon relay can also fail
+# quickly with e.g. "UNAVAILABLE: TPU backend setup/compile error", which
+# clears when the tunnel recovers — those must keep retrying.
+_OUTAGE_MARKERS = ("unavailable", "deadline", "timeout", "connection",
+                   "unreachable", "reset", "refused")
+
 
 def wait_for_backend(max_wait_s: float = 600.0, log=None) -> bool:
     """Block until ``jax.devices()`` succeeds in a fresh subprocess.
@@ -65,7 +71,9 @@ def wait_for_backend(max_wait_s: float = 600.0, log=None) -> bool:
             if attempt > 1:
                 log(f"backend probe succeeded on attempt {attempt}")
             return True
-        if elapsed < _IMMEDIATE_FAIL_S and stderr_tail:
+        outage_shaped = any(m in stderr_tail.lower()
+                            for m in _OUTAGE_MARKERS)
+        if elapsed < _IMMEDIATE_FAIL_S and stderr_tail and not outage_shaped:
             immediate_tails.append(stderr_tail)
             if len(immediate_tails) >= 3 and len(set(immediate_tails)) == 1:
                 log("backend probe fails instantly and identically — this "

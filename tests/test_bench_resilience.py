@@ -93,3 +93,29 @@ def test_wait_for_backend_bails_on_broken_environment(monkeypatch):
     assert ok is False
     assert len(calls) == 3              # bailed after 3 identical failures
     assert relay.time.monotonic() - t0 < 30.0
+
+
+def test_wait_for_backend_retries_fast_outage_shaped_failures(monkeypatch):
+    """The axon relay can fail FAST with 'UNAVAILABLE: ...' during an
+    outage — that must keep retrying (until the budget), never bail as a
+    broken environment."""
+    from soc_project_stereo_matching_tpu.utils import relay
+
+    calls = []
+
+    class FakeProc:
+        returncode = 1
+        stderr = (b"RuntimeError: Unable to initialize backend 'axon': "
+                  b"UNAVAILABLE: TPU backend setup/compile error\n")
+
+    def fake_run(*a, **k):
+        calls.append(1)
+        if len(calls) >= 4:
+            FakeProc.returncode = 0     # relay recovers on attempt 4
+        return FakeProc()
+
+    monkeypatch.setattr(relay.subprocess, "run", fake_run)
+    monkeypatch.setattr(relay.time, "sleep", lambda s: None)
+    ok = relay.wait_for_backend(max_wait_s=600.0, log=lambda m: None)
+    assert ok is True
+    assert len(calls) == 4              # retried through the fast failures
