@@ -57,6 +57,13 @@ class HarnessConfig:
     # them two orders of magnitude slower for no benefit.
     timing_iters: Optional[int] = None
     timing_repeats: Optional[int] = None
+    # Transient-failure recovery ladder (the reference's analog is the lwIP
+    # error callback + reconnect, tcp_perf_client.c:37-49): a failed
+    # batch/pair measurement re-probes the backend and retries this many
+    # times before raising; the resumable stats file (written after every
+    # measurement) covers anything the in-process retry cannot — a fresh
+    # process with resume=True skips all completed work.
+    measure_retries: int = 1
 
     def resolved_timing(self) -> tuple:
         import jax
@@ -96,13 +103,38 @@ class EvaluationHarness:
         # compile is excluded (the reference's FPS likewise excludes board
         # boot), and the measured calls form a dependency chain so a lazily
         # dispatching TPU runtime cannot fake the number.
-        from ..utils.profiling import chained_match_time
-
         iters, repeats = self.config.resolved_timing()
-        duration, disp = chained_match_time(
+        duration, disp = self._measure_with_retry(
             engine.match, pair.img_left, pair.img_right,
             iters=iters, repeats=repeats)
         return self._metrics_for(pair, disp, duration)
+
+    def _measure_with_retry(self, match_fn, left, right, *, iters, repeats):
+        """chained_match_time with the transient-failure ladder: on error,
+        re-probe the backend in a subprocess (a short window — the stats
+        file makes a full restart cheap) and retry up to
+        ``config.measure_retries`` times."""
+        import logging
+
+        from ..utils.profiling import chained_match_time
+
+        last = None
+        for attempt in range(self.config.measure_retries + 1):
+            try:
+                return chained_match_time(match_fn, left, right,
+                                          iters=iters, repeats=repeats)
+            except Exception as e:  # noqa: BLE001 — transient relay faults
+                last = e
+                if attempt == self.config.measure_retries:
+                    break
+                logging.getLogger("soc_sgm_tpu.eval").warning(
+                    "measurement failed (%s: %s); re-probing backend, "
+                    "retry %d/%d", type(e).__name__, e, attempt + 1,
+                    self.config.measure_retries)
+                from ..utils.relay import wait_for_backend
+
+                wait_for_backend(max_wait_s=300.0)
+        raise last
 
     def _metrics_for(self, pair: StereoPair, disp: np.ndarray,
                      duration: float) -> dict:
@@ -166,7 +198,6 @@ class EvaluationHarness:
         3 ms frame).  Batched runs use a reduced iteration count (the batch
         itself already amortises noise)."""
         from ..data.pipeline import batched_pair_stream
-        from ..utils.profiling import chained_match_time
 
         done = self._load_resume()
         todo = [f for f in folders
@@ -193,8 +224,9 @@ class EvaluationHarness:
             engine = self._engine_for(pairs[0])
             # chained_match_time warms up (compile excluded, as in the
             # reference — board boot excluded) and returns the unperturbed
-            # batch result plus the RTT-cancelled seconds per batch step
-            dt_batch, disps = chained_match_time(
+            # batch result plus the RTT-cancelled seconds per batch step;
+            # per-batch retry ladder on transient relay faults
+            dt_batch, disps = self._measure_with_retry(
                 engine.match_batch, lefts, rights,
                 iters=iters, repeats=repeats)
             dt = dt_batch / len(pairs)

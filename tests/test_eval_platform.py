@@ -301,6 +301,56 @@ def test_harness_resume_refuses_foreign_timing_methodology(
     assert stats["timing_methodology"] == TIMING_METHODOLOGY
 
 
+def test_harness_measure_retry_ladder(reference_dir, monkeypatch):
+    """A transiently-failing measurement retries (after a backend
+    re-probe) instead of killing the run; a persistent failure still
+    raises after the configured attempts."""
+    import pytest
+
+    from soc_project_stereo_matching_tpu import SGMOptions
+    from soc_project_stereo_matching_tpu.eval import harness as H
+    from soc_project_stereo_matching_tpu.utils import relay
+
+    probes = []
+    monkeypatch.setattr(relay, "wait_for_backend",
+                        lambda max_wait_s=0, log=None: probes.append(1))
+
+    import soc_project_stereo_matching_tpu.utils.profiling as prof
+
+    real = prof.chained_match_time
+    calls = []
+
+    def flaky(match_fn, left, right, *, iters, repeats):
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("UNAVAILABLE: relay blip")
+        return real(match_fn, left, right, iters=iters, repeats=repeats)
+
+    monkeypatch.setattr(prof, "chained_match_time", flaky)
+
+    cone = reference_dir / "SemiGlobalMatching" / "Data" / "cone"
+    h = H.EvaluationHarness(
+        SGMOptions(is_remove_speckles=False),
+        H.HarnessConfig(max_disparity=64, timing_iters=2, timing_repeats=1,
+                        measure_retries=1))
+    stats = h.run([cone])
+    assert stats["total_frames"] == 1
+    assert len(calls) == 2 and len(probes) == 1     # failed, probed, retried
+
+    calls.clear()
+    probes.clear()
+    monkeypatch.setattr(
+        prof, "chained_match_time",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("dead")))
+    h2 = H.EvaluationHarness(
+        SGMOptions(is_remove_speckles=False),
+        H.HarnessConfig(max_disparity=64, timing_iters=2, timing_repeats=1,
+                        measure_retries=2))
+    with pytest.raises(RuntimeError, match="dead"):
+        h2.run([cone])
+    assert len(probes) == 2                          # probed between attempts
+
+
 def test_kitti2015_layout(tmp_path):
     import numpy as np
     from PIL import Image
