@@ -932,27 +932,30 @@ def _speckle_band_geometry(h: int, w: int, min_area: int,
     So both contractions only touch a [start, start+band) slice of the
     (h, 1 << lo_bits) root plane.  The group size is chosen so the band
     fits one 128-row MXU block — that cap is what makes banding cheaper
-    than the full-height contraction (~h/128 x fewer MACs)."""
-    h_hist = _round_up(h, 8)
+    than the full-height contraction (~h/128 x fewer MACs).  All row
+    quantities are 16-aligned: the root-small plane rides as bf16, whose
+    Mosaic tile is (16, 128), so the dynamic band offset and both the
+    band and the plane height must sit on 16-row boundaries."""
+    h_hist = _round_up(h, 16)
     g = 1
     for cand in range(16, 0, -1):
         rows = -(-cand * pc // w) + 1
-        if _round_up(rows + (min_area - 1) + 8, 8) <= 128:
+        if _round_up(rows + (min_area - 1) + 16, 16) <= 128:
             g = cand
             break
     rows = -(-g * pc // w) + 1
-    band = min(h_hist, _round_up(rows + (min_area - 1) + 8, 8))
+    band = min(h_hist, _round_up(rows + (min_area - 1) + 16, 16))
     return g, band, h_hist
 
 
 def _speckle_band_start(gi, *, g: int, pc: int, w: int, a: int, band: int,
                         h_hist: int):
-    """8-aligned first root row of group ``gi``'s band (see
+    """16-aligned first root row of group ``gi``'s band (see
     ``_speckle_band_geometry``): covers [r - (a-1), r] for every pixel
     row r the group touches, clamped into the padded plane."""
     rlo = (gi * g * pc) // w
     start = jnp.maximum(rlo - (a - 1), 0)
-    return jnp.minimum((start // 8) * 8, h_hist - band)
+    return jnp.minimum((start // 16) * 16, h_hist - band)
 
 
 def _speckle_hist_kernel(lab_ref, out_ref, *, g: int, pc: int, band: int,
@@ -976,10 +979,10 @@ def _speckle_hist_kernel(lab_ref, out_ref, *, g: int, pc: int, band: int,
                                 h_hist=h_hist)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (band, pc), 0) + start
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (lo, pc), 0)
-    tile = lab_ref[0, 0]                                  # (g, Pc) int32
+    tile = lab_ref[0]                                     # (1, g*Pc) int32
     acc = jnp.zeros((band, lo), jnp.float32)
     for j in range(g):
-        row = tile[j:j + 1]                               # (1, Pc)
+        row = tile[:, j * pc:(j + 1) * pc]                # (1, Pc)
         am = (k_iota == (row >> lo_bits)).astype(jnp.bfloat16)
         pm = (l_iota == (row & (lo - 1))).astype(jnp.bfloat16)
         acc += jax.lax.dot_general(
@@ -1003,17 +1006,17 @@ def _speckle_verdict_kernel(lab_ref, m_ref, out_ref, *, g: int, pc: int,
     m_band = m_ref[0, pl.dslice(start, band), :]
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (band, pc), 0) + start
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (lo, pc), 0)
-    tile = lab_ref[0, 0]                                  # (g, Pc) int32
+    tile = lab_ref[0]                                     # (1, g*Pc) int32
     rows = []
     for j in range(g):
-        row = tile[j:j + 1]                               # (1, Pc)
+        row = tile[:, j * pc:(j + 1) * pc]                # (1, Pc)
         am = (k_iota == (row >> lo_bits)).astype(jnp.float32)
         pm = (l_iota == (row & (lo - 1))).astype(jnp.bfloat16)
         q = jax.lax.dot_general(                          # (band, Pc)
             m_band, pm, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         rows.append(jnp.sum(am * q, axis=0, keepdims=True))
-    out_ref[0, 0] = jnp.concatenate(rows, axis=0)         # (g, Pc)
+    out_ref[0] = jnp.concatenate(rows, axis=1)            # (1, g*Pc)
 
 
 @functools.partial(jax.jit, static_argnames=("diff_insame", "min_area"))
@@ -1098,8 +1101,10 @@ def remove_speckles_pallas(disp: jnp.ndarray, diff_insame: float = 1.0,
                          jnp.int32(sentinel)).reshape(b, n)
     lab_flat = jnp.pad(lab_flat, ((0, 0), (0, npad - n)),
                        constant_values=sentinel)
-    lab_grp = lab_flat.reshape(b, ngroups, g, pc)
-    grp_spec = pl.BlockSpec((1, 1, g, pc), lambda bi, gi: (bi, gi, 0, 0),
+    # groups flattened onto lanes: (1, 1, g*pc) blocks sidestep Mosaic's
+    # second-to-last-dim tiling rule for arbitrary g
+    lab_grp = lab_flat.reshape(b, ngroups, g * pc)
+    grp_spec = pl.BlockSpec((1, 1, g * pc), lambda bi, gi: (bi, gi, 0),
                             memory_space=pltpu.VMEM)
     hist_args = dict(g=g, pc=pc, band=band, lo_bits=lo_bits,
                      a=int(min_area), w=w, h_hist=h_hist)
@@ -1127,7 +1132,7 @@ def remove_speckles_pallas(disp: jnp.ndarray, diff_insame: float = 1.0,
                   pl.BlockSpec((1, h_hist, lo), lambda bi, gi: (bi, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=grp_spec,
-        out_shape=jax.ShapeDtypeStruct((b, ngroups, g, pc), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, ngroups, g * pc), jnp.float32),
         compiler_params=vmem_params,
         interpret=_interpret(),
     )(lab_grp, root_small)

@@ -241,14 +241,15 @@ def test_speckle_band_geometry_covers_every_window():
         a = int(rng.integers(1, 200))
         pc = int(rng.choice([256, 1024, 2048]))
         g, band, h_hist = pk._speckle_band_geometry(h, w, a, pc)
-        assert band % 8 == 0 and band <= h_hist and h_hist >= h
+        # 16-row alignment: the root-small plane is bf16 (Mosaic (16, 128))
+        assert band % 16 == 0 and band <= h_hist and h_hist >= h
         n = h * w
         ngroups = -(-n // (g * pc))
         for gi in range(ngroups):
             rlo = (gi * g * pc) // w
             rhi = min(((gi + 1) * g * pc - 1) // w, h - 1)
-            start = min((max(rlo - (a - 1), 0) // 8) * 8, h_hist - band)
-            assert start >= 0 and start % 8 == 0
+            start = min((max(rlo - (a - 1), 0) // 16) * 16, h_hist - band)
+            assert start >= 0 and start % 16 == 0
             assert start <= max(rlo - (a - 1), 0), (h, w, a, pc, gi)
             assert start + band > rhi, (h, w, a, pc, gi, start, band, rhi)
 
@@ -261,18 +262,19 @@ def test_speckle_banded_histogram_exact():
     the gather's implicit zero must mean not-small), lines of exactly
     min_area and min_area-1 pixels placed low in the frame, and a speck
     adjacent to the band start."""
-    h, w, area = 88, 64, 5
+    h, w, area = 120, 64, 5
     rng = np.random.default_rng(31)
     d = rng.integers(0, 6, (h, w)).astype(np.float32)
     d[rng.random((h, w)) < 0.55] = np.inf
-    d[:, 10] = 3.0        # h-pixel vertical line: area 88 >> 5, kept
+    d[:, 10] = 3.0        # h-pixel vertical line: area h >> 5, kept
     d[:, 9] = np.inf      # isolate it
     d[:, 11] = np.inf
+    d[69:76, 29:32] = np.inf
     d[70:75, 30] = 3.0    # exactly min_area: kept
+    d[79:85, 39:42] = np.inf
     d[80:84, 40] = 3.0    # min_area-1: removed
-    d[29:31, 50] = 3.0    # wide-gap speck at a band-aligned row
-    for c in (29, 31, 39, 41, 49, 51):
-        d[d.shape[0] - 20:, c] = np.inf
+    d[28:32, 49:52] = np.inf
+    d[29:31, 50] = 3.0    # wide-gap speck at a band-aligned row: removed
     dj = jnp.asarray(d)
     want = np.asarray(postprocess.remove_speckles(dj, 1.0, area))
 
