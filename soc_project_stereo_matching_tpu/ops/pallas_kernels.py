@@ -789,8 +789,12 @@ def _cc_propagate(get_val, set_val, get_mask, *, h: int, w: int, big):
     with a cheap 8-neighbour shift-min round.  Convergence = fixed point =
     per-component-constant values = the component minimum.
 
-    Shared by the label kernel (values = pixel indices) and the filter
-    kernel (values = 0 at small-component roots, ``big`` elsewhere)."""
+    Scheme choice (measured on the cone pre-speckle disparity, the real
+    component structure): alternating seg/cheap reaches the fixed point in
+    15 rounds ~= 39 cheap-round-equivalents at ~4:1 seg:cheap cost, vs 11
+    seg-only rounds (~44) and 125 cheap-only; adding segmented *diagonal*
+    doubling converges in 8 rounds but doubles the per-round cost (~64) —
+    the alternation stands."""
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
 
