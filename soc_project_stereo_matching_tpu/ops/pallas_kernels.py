@@ -53,8 +53,54 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _roll(x: jnp.ndarray, shift: int, axis: int) -> jnp.ndarray:
-    """jnp.roll semantics; pltpu.roll only accepts non-negative shifts."""
-    return pltpu.roll(x, shift % x.shape[axis], axis=axis)
+    """jnp.roll semantics; pltpu.roll only accepts non-negative shifts.
+
+    16-bit dtypes route through ``_roll16``: Mosaic's vector rotate
+    (tpu.dynamic_rotate) is 32-bit-only, so rolling packed 16-bit vregs
+    directly fails to compile on real TPU."""
+    shift %= x.shape[axis]
+    if x.dtype.itemsize == 2 and not _interpret():
+        return _roll16(x, shift, axis)
+    return pltpu.roll(x, shift, axis=axis)
+
+
+def _roll16(x: jnp.ndarray, shift: int, axis: int) -> jnp.ndarray:
+    """Roll a 16-bit vector via its packed-pair uint32 view.
+
+    A 16-bit vreg packs sublane pairs (2s, 2s+1) into one 32-bit word
+    (even row = LOW halfword; verified on v5e — see tests and the r4 probe
+    recorded in BASELINE.md), so:
+      * lane rolls are plain 32-bit rotates (packing is along sublanes);
+      * even sublane shifts are 32-bit rotates by shift/2;
+      * odd sublane shifts add one halfword weave of two rotates:
+        word k of the result = (high(rot[(shift+1)/2]) | low(rot[(shift-1)/2]) << 16).
+    Pure bit movement — exact for int16/uint16/bf16 alike."""
+    n = x.shape[axis]
+    if shift == 0:
+        return x
+    if x.shape[-2] % 2:
+        # no uint32 pair view exists (odd sublane count, e.g. the (1, W)
+        # running-min plane): widen -> 32-bit roll -> narrow, exact for
+        # integer payloads (zero/sign-extend then truncate)
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            return pltpu.roll(x.astype(jnp.int32), shift,
+                              axis=axis).astype(x.dtype)
+        return jnp.roll(x, shift, axis=axis)
+    if axis != x.ndim - 2:
+        x32 = pltpu.bitcast(x, jnp.uint32)
+        return pltpu.bitcast(pltpu.roll(x32, shift, axis=axis), x.dtype)
+    x32 = pltpu.bitcast(x, jnp.uint32)   # sublane roll; n even per the guard
+    if shift % 2 == 0:
+        y = pltpu.roll(x32, shift // 2, axis=axis)
+    else:
+        half = x32.shape[axis]
+        e = pltpu.roll(x32, ((shift - 1) // 2) % half, axis=axis)
+        o = pltpu.roll(x32, ((shift + 1) // 2) % half, axis=axis)
+        # result word k: low half (row 2k) comes from an odd source row =
+        # the HIGH half of o's word k; high half (row 2k+1) from an even
+        # source row = the LOW half of e's word k.
+        y = (o >> 16) | (e << 16)
+    return pltpu.bitcast(y, x.dtype)
 
 
 # Volume kernels hold working sets well above the 16M default scoped-VMEM
@@ -959,7 +1005,10 @@ def _speckle_band_start(gi, *, g: int, pc: int, w: int, a: int, band: int,
     row r the group touches, clamped into the padded plane."""
     rlo = (gi * g * pc) // w
     start = jnp.maximum(rlo - (a - 1), 0)
-    return jnp.minimum((start // 16) * 16, h_hist - band)
+    start = jnp.minimum((start // 16) * 16, h_hist - band)
+    # Mosaic must statically prove the dynamic sublane offset's alignment
+    # (both h_hist and band are 16-multiples, so the min stays aligned)
+    return pl.multiple_of(start, 16)
 
 
 def _speckle_hist_kernel(lab_ref, out_ref, *, g: int, pc: int, band: int,
@@ -983,7 +1032,7 @@ def _speckle_hist_kernel(lab_ref, out_ref, *, g: int, pc: int, band: int,
                                 h_hist=h_hist)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (band, pc), 0) + start
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (lo, pc), 0)
-    tile = lab_ref[0]                                     # (1, g*Pc) int32
+    tile = lab_ref[0, 0]                                  # (1, g*Pc) int32
     acc = jnp.zeros((band, lo), jnp.float32)
     for j in range(g):
         row = tile[:, j * pc:(j + 1) * pc]                # (1, Pc)
@@ -1010,7 +1059,7 @@ def _speckle_verdict_kernel(lab_ref, m_ref, out_ref, *, g: int, pc: int,
     m_band = m_ref[0, pl.dslice(start, band), :]
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (band, pc), 0) + start
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (lo, pc), 0)
-    tile = lab_ref[0]                                     # (1, g*Pc) int32
+    tile = lab_ref[0, 0]                                  # (1, g*Pc) int32
     rows = []
     for j in range(g):
         row = tile[:, j * pc:(j + 1) * pc]                # (1, Pc)
@@ -1020,7 +1069,7 @@ def _speckle_verdict_kernel(lab_ref, m_ref, out_ref, *, g: int, pc: int,
             m_band, pm, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         rows.append(jnp.sum(am * q, axis=0, keepdims=True))
-    out_ref[0] = jnp.concatenate(rows, axis=1)            # (1, g*Pc)
+    out_ref[0, 0] = jnp.concatenate(rows, axis=1)         # (1, g*Pc)
 
 
 @functools.partial(jax.jit, static_argnames=("diff_insame", "min_area"))
@@ -1105,10 +1154,12 @@ def remove_speckles_pallas(disp: jnp.ndarray, diff_insame: float = 1.0,
                          jnp.int32(sentinel)).reshape(b, n)
     lab_flat = jnp.pad(lab_flat, ((0, 0), (0, npad - n)),
                        constant_values=sentinel)
-    # groups flattened onto lanes: (1, 1, g*pc) blocks sidestep Mosaic's
-    # second-to-last-dim tiling rule for arbitrary g
-    lab_grp = lab_flat.reshape(b, ngroups, g * pc)
-    grp_spec = pl.BlockSpec((1, 1, g * pc), lambda bi, gi: (bi, gi, 0),
+    # groups flattened onto lanes with a unit sublane dim: the TPU lowering
+    # requires the last two block dims to be (8, 128)-divisible OR equal to
+    # the array dims, so the block's trailing (1, g*pc) must be actual array
+    # dims — (b, ngroups, 1, g*pc) makes every block a full (1, g*pc) plane
+    lab_grp = lab_flat.reshape(b, ngroups, 1, g * pc)
+    grp_spec = pl.BlockSpec((1, 1, 1, g * pc), lambda bi, gi: (bi, gi, 0, 0),
                             memory_space=pltpu.VMEM)
     hist_args = dict(g=g, pc=pc, band=band, lo_bits=lo_bits,
                      a=int(min_area), w=w, h_hist=h_hist)
@@ -1136,7 +1187,8 @@ def remove_speckles_pallas(disp: jnp.ndarray, diff_insame: float = 1.0,
                   pl.BlockSpec((1, h_hist, lo), lambda bi, gi: (bi, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=grp_spec,
-        out_shape=jax.ShapeDtypeStruct((b, ngroups, g * pc), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, ngroups, 1, g * pc),
+                                       jnp.float32),
         compiler_params=vmem_params,
         interpret=_interpret(),
     )(lab_grp, root_small)
