@@ -97,15 +97,25 @@ def main():
         ref = np.asarray(variants[ref_name](*args))
         out = {}
         for name, fn in variants.items():
-            if name == ref_name:
-                equal = True
-            else:
-                equal = bool(np.array_equal(ref, np.asarray(fn(*args))))
-                log(f"{name}: bit-equal={equal}")
-            if not equal:
-                out[name] = {"bit_equal": False}
+            try:
+                if name == ref_name:
+                    equal = True
+                else:
+                    equal = bool(np.array_equal(ref, np.asarray(fn(*args))))
+                    log(f"{name}: bit-equal={equal}")
+                if not equal:
+                    out[name] = {"bit_equal": False}
+                    continue
+                t = chain_time(fn, feedback, *args)
+            except Exception as e:
+                # a variant that fails to compile (e.g. a Mosaic limitation)
+                # must not sink the whole artifact: record why, keep going
+                msg = str(e).splitlines()
+                key = next((l for l in msg if "Mosaic" in l or "INTERNAL" in l
+                            or "NotImplemented" in l), msg[0] if msg else "?")
+                out[name] = {"error": key.strip()[:200]}
+                log(f"{name}: ERROR {out[name]['error']}")
                 continue
-            t = chain_time(fn, feedback, *args)
             out[name] = {"bit_equal": True, "s_per_launch": t}
             log(f"{name:16s} {t * 1e3:8.3f} ms/launch")
         return out
