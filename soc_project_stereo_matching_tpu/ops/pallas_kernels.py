@@ -1315,8 +1315,10 @@ def census_cost_volume_pallas(
     img_spec = pl.BlockSpec((1, hp + 8, w), lambda bi, ci: (bi, 0, 0),
                             memory_space=pltpu.VMEM)
     if store8 is None:
-        store8 = False      # default off pending real-TPU validation of the
-        #                     uint8 tile-slab store (scripts/scan_variant_bench)
+        store8 = True       # real-TPU A/B (results/scan_variants.json,
+        #                     2026-08-18): uint8 tile-slab store is 2.1x the
+        #                     int32+narrow launch (0.49 vs 1.05 ms) and
+        #                     bit-equal; default ON where the layout allows
     store8 = store8 and d % 32 == 0
     cost = pl.pallas_call(
         functools.partial(_census_cost_kernel, rows=block_rows, h=h, w=w,
