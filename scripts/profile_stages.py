@@ -110,8 +110,14 @@ def main():
 
         cc = jax.jit(lambda a, b: pk.census_cost_volume_pallas(
             a, b, OPT.min_disparity, OPT.max_disparity))
+        # feedback must be a minimal slice: extracting a full d=0 plane
+        # (the old feedback) costs a strided relayout of the uint8-tiled
+        # volume that dwarfs the launch itself — harness cost, not kernel
+        # cost (scripts/scan_variant_bench.py times the same launch with
+        # the same minimal-slice style)
         timeit_chain("census+cost (fused)",
-                     lambda x: cc(x, right)[..., 0, :] & 0xFF, left)
+                     lambda x: x ^ (cc(x, right)[:, :1, :1, 0] & 1
+                                    ).astype(x.dtype), left)
 
         aggr_fn = jax.jit(lambda c: pk.aggregate_paths(c, left, OPT))
         timeit_chain("aggregation (8 paths)",

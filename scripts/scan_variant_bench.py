@@ -139,12 +139,15 @@ def main():
         return run
 
     scan_fb = lambda out, c: c ^ (out[:, :1, :1, :1] & 1).astype(jnp.int8)
+    # unroll=32 is FULL unroll of the 32-row chunk loop — the only non-1
+    # value this stack's Mosaic accepts ("Only unroll=num_steps=32 and
+    # unroll=1 supported", recorded in the r4 artifact for unroll=2)
     results = ab_section(
         {
             "i32": make_run(),
             "i16": make_run(compute16=True),
-            "i32_unroll2": make_run(unroll=2),
-            "i16_unroll2": make_run(compute16=True, unroll=2),
+            "i32_unroll_full": make_run(unroll=32),
+            "i16_unroll_full": make_run(compute16=True, unroll=32),
         },
         "i32", scan_fb, cost_p, p2_p)
     for r in results.values():
