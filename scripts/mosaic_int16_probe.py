@@ -121,6 +121,34 @@ def main():
         log(f"{name}: {rec}")
         return rec
 
+    # --- second ladder: p5/p6 both fail and share one op absent from the
+    # passing p0-p4 — jnp.minimum on int16.  Separate the suspects:
+    def k_p8(c_ref, o_ref):          # int16 minimum, no loop/scratch
+        x = widen(c_ref)
+        o_ref[0] = jnp.minimum(x, pk._roll(x, 1, axis=1)).astype(jnp.uint16)
+
+    def k_p9(c_ref, o_ref):          # int16 compare + where
+        x = widen(c_ref)
+        y = pk._roll(x, 1, axis=1)
+        o_ref[0] = jnp.where(x < y, x, y).astype(jnp.uint16)
+
+    def k_p10(c_ref, o_ref):         # arithmetic min: b + ((a-b) & (a-b)>>15)
+        x = widen(c_ref)
+        y = pk._roll(x, 1, axis=1)
+        diff = x - y
+        o_ref[0] = (y + (diff & (diff >> 15))).astype(jnp.uint16)
+
+    def k_p5b(c_ref, o_ref, scratch):  # p5's scratch loop, adds only
+        scratch[...] = jnp.zeros_like(scratch)
+
+        def step(s, _):
+            x = c_ref[0, pl.ds(s, 1)].astype(jnp.int16) & 0xFF
+            scratch[...] = scratch[...] + x
+            o_ref[0, pl.ds(s, 1)] = (x + scratch[...]).astype(jnp.uint16)
+            return ()
+
+        jax.lax.fori_loop(0, ROWS, step, ())
+
     results = {}
     results["p0_widen_store"] = compile_probe("p0", k_p0, (1, D, W), (1, D, W))
     results["p1_lane_roll"] = compile_probe("p1", k_p1, (1, D, W), (1, D, W))
@@ -134,6 +162,13 @@ def main():
         scratch=[pltpu.VMEM((1, W), jnp.int16)])
     results["p6_doubling_tree"] = compile_probe(
         "p6", k_p6, (1, D, W), (1, D, W))
+    results["p8_min16"] = compile_probe("p8", k_p8, (1, D, W), (1, D, W))
+    results["p9_cmp_where16"] = compile_probe("p9", k_p9, (1, D, W), (1, D, W))
+    results["p10_arith_min16"] = compile_probe(
+        "p10", k_p10, (1, D, W), (1, D, W))
+    results["p5b_scratch_loop_add"] = compile_probe(
+        "p5b", k_p5b, (1, ROWS, W), (1, ROWS, W),
+        scratch=[pltpu.VMEM((1, W), jnp.int16)])
 
     # p7: the real fused scan step at a tiny shape
     t0 = time.time()
