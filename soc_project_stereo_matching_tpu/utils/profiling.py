@@ -123,9 +123,9 @@ def chained_match_time(match_fn: Callable, left, right, iters: int = 32,
     post-mortem).  ``compile_repeats > 1`` re-lowers and re-compiles that
     many times and reports the min as ``compile_s`` with every sample in
     ``compile_samples`` — one attempt can still contain relay weather
-    (VERDICT r3: a 1019 s kitti2012 outlier next to 124-529 s siblings);
-    the samples expose any process-level compile caching so a suspicious
-    min is auditable in the artifact."""
+    (VERDICT r3: a 1019 s kitti2012 outlier next to 124-529 s siblings).
+    Sub-second samples are persistent-cache lookups, not compiles, and are
+    excluded from the min (but kept in the samples for audit)."""
     import numpy as np
 
     iters = max(iters, 2)                  # the RTT-cancelling difference
@@ -159,7 +159,12 @@ def chained_match_time(match_fn: Callable, left, right, iters: int = 32,
             t0 = time.perf_counter()
             compiled = chain.lower(left, right, jnp.int32(0)).compile()
             compile_samples.append(time.perf_counter() - t0)
-        compile_s = min(compile_samples)
+        # a repeat that hits the persistent compilation cache returns in
+        # well under a second — that's a cache lookup, not a compile; keep
+        # the min over samples that did real compiler work (all samples
+        # stay in compile_samples for the artifact's audit trail)
+        real = [s for s in compile_samples if s >= 1.0]
+        compile_s = min(real) if real else min(compile_samples)
         run = lambda n: compiled(left, right, jnp.int32(n))
     else:
         compile_s = None
