@@ -822,6 +822,15 @@ _SPECKLE_VMEM_PIXELS = 950_000
 # to exercise banding on small frames).
 _SPECKLE_PC = 2048
 
+# Frame-size gate for the precomputed doubling-mask pyramid in
+# _cc_propagate: the pyramid adds ~4*ceil_log2(max(h, w)) B/pixel of
+# loop-invariant VMEM on top of the ~95 B/pixel the label kernel already
+# holds, so frames near the 950K-pixel budget (720p single-piece, big-frame
+# strips) keep the recompute-per-round scheme; everything smaller (cone
+# 169K, KITTI-geometry 466K) takes the measured-faster pyramid
+# (results/speckle_probe.json: 0.518 vs 0.679 ms/frame on cone, bit-equal).
+_PYR_PIXEL_CAP = 700_000
+
 
 def _cc_propagate(get_val, set_val, get_mask, *, h: int, w: int, big):
     """Min-propagate a VMEM plane to its per-component fixed point.
@@ -840,9 +849,20 @@ def _cc_propagate(get_val, set_val, get_mask, *, h: int, w: int, big):
     15 rounds ~= 39 cheap-round-equivalents at ~4:1 seg:cheap cost, vs 11
     seg-only rounds (~44) and 125 cheap-only; adding segmented *diagonal*
     doubling converges in 8 rounds but doubles the per-round cost (~64) —
-    the alternation stands."""
+    the alternation stands.
+
+    The run-link doubling masks are STATIC across rounds (connectivity
+    never changes), so for frames under ``_PYR_PIXEL_CAP`` they are
+    precomputed once into a packed int32 pyramid (plane s, bits: 0
+    fwd-lane, 1 bwd-lane, 2 fwd-row, 3 bwd-row = link at stride 2^s with
+    the array-edge ok-mask folded in), cutting each doubling step from 8
+    VPU ops per direction to 5 and halving its rolls — 0.679 -> 0.518
+    ms/frame on cone, bit-equal (results/speckle_probe.json; pair-rounds,
+    fewer-checks and 4-frame-block variants all measured neutral-to-worse
+    there, so the round structure itself stands)."""
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    use_pyr = h * w <= _PYR_PIXEL_CAP
 
     def seg_min_doubling(lab, conn, axis, n):
         """Segmented min over runs along `axis`; conn (int32 0/1) links k
@@ -863,16 +883,59 @@ def _cc_propagate(get_val, set_val, get_mask, *, h: int, w: int, big):
             bwd_c = bwd_c & jnp.where(ok_b, _roll(bwd_c, -s, axis), 0)
         return jnp.minimum(fwd_v, bwd_v)
 
+    def build_pyramid(m):
+        """Loop-invariant packed doubling masks (see docstring)."""
+        state = []
+        for axis, n, cbit in ((1, w, 0), (0, h, 1)):
+            conn = (m >> cbit) & 1
+            state.append([conn, _roll(conn, -1, axis), axis, n])
+        pyr = []
+        for step in range(max(_ceil_log2(w), _ceil_log2(h))):
+            s = 1 << step
+            plane = jnp.zeros((h, w), jnp.int32)
+            for k, (fwd_c, bwd_c, axis, n) in enumerate(state):
+                if s >= n:
+                    continue
+                iota = lane_iota if axis == 1 else row_iota
+                ok = iota >= s
+                ok_b = iota < n - s
+                plane |= jnp.where((fwd_c != 0) & ok, 1 << (2 * k), 0)
+                plane |= jnp.where((bwd_c != 0) & ok_b, 2 << (2 * k), 0)
+                state[k][0] = fwd_c & jnp.where(ok, _roll(fwd_c, s, axis), 0)
+                state[k][1] = bwd_c & jnp.where(
+                    ok_b, _roll(bwd_c, -s, axis), 0)
+            pyr.append(plane)
+        return pyr
+
+    def seg_axis_pyr(v, pyr, axis, n, fbit, bbit):
+        fwd_v, bwd_v = v, v
+        for step in range(_ceil_log2(n)):
+            s = 1 << step
+            p = pyr[step]
+            fwd_v = jnp.minimum(fwd_v, jnp.where(
+                (p & fbit) != 0, _roll(fwd_v, s, axis), big))
+            bwd_v = jnp.minimum(bwd_v, jnp.where(
+                (p & bbit) != 0, _roll(bwd_v, -s, axis), big))
+        return jnp.minimum(fwd_v, bwd_v)
+
     def diag_pass(new, m):
         for bit, (dr, dc) in zip((2, 3, 4, 5), _CC_OFFSETS[2:]):
             nl = _roll(_roll(new, -dr, 0), -dc, 1)
             new = jnp.minimum(new, jnp.where((m & (1 << bit)) != 0, nl, big))
         return new
 
-    def seg_round(lab, m):
-        new = seg_min_doubling(lab, m & 1, 1, w)
-        new = seg_min_doubling(new, (m >> 1) & 1, 0, h)
-        return diag_pass(new, m)
+    if use_pyr:
+        pyramid = build_pyramid(get_mask())
+
+        def seg_round(lab, m):
+            new = seg_axis_pyr(lab, pyramid, 1, w, 1, 2)
+            new = seg_axis_pyr(new, pyramid, 0, h, 4, 8)
+            return diag_pass(new, m)
+    else:
+        def seg_round(lab, m):
+            new = seg_min_doubling(lab, m & 1, 1, w)
+            new = seg_min_doubling(new, (m >> 1) & 1, 0, h)
+            return diag_pass(new, m)
 
     def cheap_round(lab, m):
         """One masked shift-min over all 8 edges (~4x cheaper than the
