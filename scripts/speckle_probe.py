@@ -25,10 +25,11 @@ pre-speckle input = real component structure):
              doubling step from 8 ops/direction to 5 and dropping half
              the rolls.  Bit-exact: identical round sequence to base.
 
-Measured 2026-08-19 (results/speckle_probe.json): base 0.679, pair
-0.701, fori16 0.641, block4 0.702 ms/frame — the while-loop check is
-~6% and block batching is neutral, so propagation is VPU-compute-bound
-and the pyramid is the lever.
+Measured 2026-08-19 (committed results/speckle_probe.json): base 0.679,
+pair 0.730, fori16 0.680, block4 0.768, pyr 0.518 ms/frame — the
+while-loop check and block batching are neutral-to-worse, so
+propagation is VPU-compute-bound and the pyramid is the lever (landed
+as the production default under _PYR_PIXEL_CAP).
 
 Labels (not the filtered disparity) are compared bit-exactly to the
 production kernel for the exact variants.  Writes
