@@ -60,6 +60,7 @@ def main():
     }
 
     results = {}
+    spreads = {}
     for name, o in variants.items():
         fn = jax.jit(lambda l, o=o: sgm_forward(l, rights, o,
                                                 use_pallas=use_pallas))
@@ -68,17 +69,19 @@ def main():
         x = chain(lefts)
         _ = jax.device_get(jnp.ravel(x)[0])
         compile_s = time.perf_counter() - t0
-        best = float("inf")
+        samples = []
         for _ in range(3):                      # min-of-repeats: relay RTT
             t0 = time.perf_counter()
             x = lefts
             for _ in range(ITERS):
                 x = chain(x)
             _ = jax.device_get(jnp.ravel(x)[0])
-            best = min(best, (time.perf_counter() - t0) / ITERS / B * 1e3)
+            samples.append((time.perf_counter() - t0) / ITERS / B * 1e3)
+        best = min(samples)
         results[name] = round(best, 4)
-        print(f"{name:18s} {best:7.4f} ms/frame   (compile+first {compile_s:.1f}s)",
-              file=sys.stderr)
+        spreads[name] = round(max(samples) - best, 4)
+        print(f"{name:18s} {best:7.4f} ms/frame  spread {spreads[name]:.4f}"
+              f"   (compile+first {compile_s:.1f}s)", file=sys.stderr)
 
     deltas = {
         "speckle_in_pipeline": round(results["full"] - results["no_speckle"], 4),
@@ -86,11 +89,18 @@ def main():
         "uniqueness": round(results["full"] - results["no_unique"], 4),
     }
     out = Path(__file__).resolve().parents[1] / "results" / "ablation_profile.json"
+    noise = max(spreads.values())
     out.write_text(json.dumps({
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
         "backend": jax.default_backend(), "pallas": use_pallas,
         "batch": B, "height": H, "width": W,
-        "ms_per_frame": results, "deltas_ms": deltas}, indent=2))
+        "ms_per_frame": results, "repeat_spread_ms": spreads,
+        "noise_floor_ms": round(noise, 4),
+        "note": "deltas smaller than noise_floor_ms (max spread across the "
+                "3 repeats of any variant) are indistinguishable from "
+                "measurement noise — negative small deltas are noise, not "
+                "negative stage costs",
+        "deltas_ms": deltas}, indent=2))
     print(json.dumps(deltas), file=sys.stderr)
     print(f"wrote {out}", file=sys.stderr)
 

@@ -407,8 +407,13 @@ def lr_check(disp_left: np.ndarray, disp_right: np.ndarray, thres: float) -> np.
 
     cr = np.clip(col_right, 0, w - 1)
     disp_r = np.take_along_axis(disp_right, cr, axis=1)
-    dr = np.where(np.isfinite(disp_r), disp_r, 0.0)
-    mismatch = np.abs(dl.astype(np.float64) - dr.astype(np.float64)) > thres
+    dr = np.where(np.isfinite(disp_r), disp_r, 0.0).astype(np.float32)
+    # C computes fabs((float)(disp - disp_r)) — the subtraction rounds to
+    # float32 BEFORE the threshold compare.  This matters: Wood2 has LR
+    # pairs whose exact difference is 1.0000000596 (half an ulp above 1.0),
+    # which float32 round-half-even lands on exactly 1.0 -> kept, while a
+    # float64 subtraction would kill them (LRCheck, SemiGlobalMatching.c:461).
+    mismatch = np.abs(dl - dr) > np.float32(thres)
     kill = valid & (
         (~in_range) | (in_range & np.isfinite(disp_r) & mismatch)
     )

@@ -64,23 +64,34 @@ def cone_pair(reference_dir):
             load_image_gray_stb(base / "im6.png"))
 
 
-@pytest.fixture(scope="session")
-def goldens(reference_dir):
-    """Golden intermediate buffers from the (padded) reference C build.
-
-    Auto-generated on first use; requires gcc + the reference tree.
-    """
-    if not GOLDEN_NPZ.exists():
+def _load_goldens(pair: str):
+    npz = GOLDEN_NPZ.parent / f"{pair}_goldens.npz"
+    if not npz.exists():
         import sys
         sys.path.insert(0, str(REPO / "tests" / "golden"))
         try:
             from generate import generate
-            generate(REFERENCE, GOLDEN_NPZ.parent)
+            generate(REFERENCE, npz.parent, pair)
         except Exception as e:  # pragma: no cover
             pytest.skip(f"cannot generate goldens: {e}")
         finally:
             sys.path.pop(0)
-    return np.load(GOLDEN_NPZ)
+    return np.load(npz)
+
+
+@pytest.fixture(scope="session")
+def goldens(reference_dir):
+    """Cone golden intermediate buffers from the (padded) reference C build.
+
+    Auto-generated on first use; requires gcc + the reference tree.
+    """
+    return _load_goldens("cone")
+
+
+@pytest.fixture(scope="session")
+def load_goldens(reference_dir):
+    """Per-pair golden loader (cone / Cloth3 / Wood2)."""
+    return _load_goldens
 
 
 @pytest.fixture(scope="session")

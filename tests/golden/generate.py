@@ -1,10 +1,20 @@
-"""Compile the reference C core and generate golden fixtures for the cone pair.
+"""Compile the reference C core and generate golden fixtures.
 
-Usage:  python tests/golden/generate.py [--reference /root/reference] [--out tests/golden/_cache]
+Usage:  python tests/golden/generate.py [--reference /root/reference]
+            [--out tests/golden/_cache] [--pairs cone Cloth3 Wood2]
 
-Produces ``cone_goldens.npz`` with the reference layouts converted to this
-framework's canonical (H, D, W) cost-volume layout.  Nothing from the
-reference tree is copied — its sources are compiled in place (read-only).
+Produces ``<pair>_goldens.npz`` per stereo pair with the reference layouts
+converted to this framework's canonical (H, D, W) cost-volume layout.
+Nothing from the reference tree is copied — its sources are compiled in
+place (read-only).
+
+Pairs beyond cone exceed the reference's static 450x375 capacity
+(``SemiGlobalMatching.h:14-16``); ``SGM_Initialize`` never checks the
+size, so a per-pair enlarged set of -fcommon guard buffers (below) gives
+the same in-bounds semantics at Cloth3/Wood2 size.  Disparity stays at
+the C core's D=64 capacity — the range the reference's own checked-in
+``view1.png.d.png`` artifacts were produced with (``main.c:48-65``
+hardcodes d in [0, 64) regardless of drange.txt).
 """
 
 from __future__ import annotations
@@ -20,15 +30,35 @@ import numpy as np
 REPO = Path(__file__).resolve().parents[2]
 DEFAULT_REFERENCE = Path("/root/reference")
 
+# pair name -> (data subdir, left image, right image)
+PAIRS = {
+    "cone": ("cone", "im2.png", "im6.png"),
+    "Cloth3": ("Cloth3", "view1.png", "view5.png"),
+    "Wood2": ("Wood2", "view1.png", "view5.png"),
+}
 
-def generate(reference: Path, out_dir: Path) -> Path:
+
+def _image_size(path: Path) -> tuple:
+    """(width, height) straight from the PNG IHDR — no imaging deps."""
+    import struct
+
+    head = path.read_bytes()[:33]
+    assert head[:8] == b"\x89PNG\r\n\x1a\n", path
+    w, h = struct.unpack(">II", head[16:24])
+    return int(w), int(h)
+
+
+def generate(reference: Path, out_dir: Path, pair: str = "cone") -> Path:
     sgm_dir = reference / "SemiGlobalMatching" / "SemiGlobalMatching"
-    data_dir = reference / "SemiGlobalMatching" / "Data" / "cone"
+    sub, left_name, right_name = PAIRS[pair]
+    data_dir = reference / "SemiGlobalMatching" / "Data" / sub
     if not sgm_dir.exists():
         raise FileNotFoundError(f"reference sources not found under {reference}")
 
     out_dir.mkdir(parents=True, exist_ok=True)
-    npz_path = out_dir / "cone_goldens.npz"
+    npz_path = out_dir / f"{pair}_goldens.npz"
+    img_w, img_h = _image_size(data_dir / left_name)
+    npx = img_w * img_h
 
     with tempfile.TemporaryDirectory() as td:
         tdir = Path(td)
@@ -38,30 +68,39 @@ def generate(reference: Path, out_dir: Path) -> Path:
         # (SemiGlobalMatching.c:304-310, current_col==0 matches), walks off
         # the image, and its final uint16 row write overflows
         # cost_aggr_buffer straight into cost_init_buffer (the arrays are
-        # adjacent in BSS), corrupting cost_init[(h=1, w=294..295)] which is
-        # then read back by the remaining diagonal passes.  The corrupted
-        # values depend on heap garbage, so they are not a reproducible
-        # contract.  We neutralise the overflow WITHOUT touching the
-        # read-only reference source: a larger tentative definition of
-        # cost_aggr_buffer is merged in via -fcommon, so the stray writes
-        # land in slack and the observable goldens equal the reference's
-        # in-bounds semantics on a pristine cost volume.
-        # There are two stray paths: the (1,1) pass's column-0 path overflows
-        # past cost_aggr's end, and the (-1,-1) pass's last path underflows
-        # below its start (both by <= 47744 bytes).  Pad every buffer with
+        # adjacent in BSS), corrupting cost_init which is then read back by
+        # the remaining diagonal passes.  The corrupted values depend on
+        # heap garbage, so they are not a reproducible contract.  We
+        # neutralise the overflow WITHOUT touching the read-only reference
+        # source: larger tentative definitions of the buffers are merged in
+        # via -fcommon, so the stray writes land in slack and the observable
+        # goldens equal the reference's in-bounds semantics on a pristine
+        # cost volume.
+        # There are two stray paths: the (1,1) pass's column-0 path
+        # overflows past cost_aggr's end, and the (-1,-1) pass's last path
+        # underflows below its start — both by <= (H-2)*D*2 bytes (47744
+        # for cone, 70784 for the 555-row pairs).  Pad every buffer with
         # 128 KiB of tail slack so each neighbour's underflow is absorbed
         # too, regardless of how the linker orders the merged commons.
+        # Buffers are sized to the ACTUAL pair (Cloth3/Wood2 exceed the
+        # reference's static 450x375 cap; SGM_Initialize never checks).
         guard = tdir / "guard.c"
         guard.write_text(
-            "/* see generate.py: slack absorbing the reference's OOB writes */\n"
+            "/* see generate.py: slack absorbing the reference's OOB writes\n"
+            " * + per-pair enlarged capacity */\n"
+            "#include <string.h>\n"
             "#define SLACK_B (128*1024)\n"
-            "#define NPX (450*375)\n"
+            f"#define NPX {npx}\n"
             "unsigned int   census_right_buffer[NPX + SLACK_B/4];\n"
             "unsigned int   census_left_buffer [NPX + SLACK_B/4];\n"
             "unsigned char  cost_init_buffer   [NPX*64 + SLACK_B];\n"
             "unsigned short cost_aggr_buffer   [NPX*64 + SLACK_B/2];\n"
             "float          disp_left_buffer   [NPX + SLACK_B/4];\n"
             "float          disp_right_buffer  [NPX + SLACK_B/4];\n"
+            "/* SGM_Reset only clears the reference's static extent; the\n"
+            " * generator clears the full used extent between runs */\n"
+            "void clear_cost_aggr_full(size_t bytes)\n"
+            "{ memset(cost_aggr_buffer, 0, bytes); }\n"
         )
         cmd = [
             "gcc", "-O2", "-std=c11", "-fcommon",
@@ -73,11 +112,13 @@ def generate(reference: Path, out_dir: Path) -> Path:
         ]
         subprocess.run(cmd, check=True)
         subprocess.run(
-            [str(exe), str(data_dir / "im2.png"), str(data_dir / "im6.png"), str(tdir)],
+            [str(exe), str(data_dir / left_name), str(data_dir / right_name),
+             str(tdir)],
             check=True,
         )
 
-        w, h, d = map(int, (tdir / "meta.txt").read_text().split())
+        w, h, d, has_full = map(int, (tdir / "meta.txt").read_text().split())
+        assert (w, h) == (img_w, img_h), (pair, w, h, img_w, img_h)
         load = lambda name, dt: np.fromfile(tdir / name, dtype=dt)
         arrays = {
             "census_left": load("census_left.bin", np.uint32).reshape(h, w),
@@ -86,9 +127,15 @@ def generate(reference: Path, out_dir: Path) -> Path:
             "cost_init": load("cost_init.bin", np.uint8).reshape(h, w, d).transpose(0, 2, 1),
             "cost_aggr": load("cost_aggr.bin", np.uint16).reshape(h, w, d).transpose(0, 2, 1),
             "disp_right": load("disp_right.bin", np.float32).reshape(h, w),
-            "disp_left_full": load("disp_left_full.bin", np.float32).reshape(h, w),
+            "disp_left_lr_median": load("disp_left_lr_median.bin", np.float32).reshape(h, w),
             "disp_left_wta_median": load("disp_left_wta_median.bin", np.float32).reshape(h, w),
         }
+        if has_full:
+            # full pipeline (incl. speckle) is only defined within the
+            # reference's own 450x375 capacity — beyond it RemoveSpeckles'
+            # stack arrays overflow into wild writes (see gen_golden.c)
+            arrays["disp_left_full"] = load(
+                "disp_left_full.bin", np.float32).reshape(h, w)
     np.savez_compressed(npz_path, **arrays)
     print(f"wrote {npz_path} ({npz_path.stat().st_size / 1e6:.1f} MB)")
     return npz_path
@@ -98,9 +145,11 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--reference", type=Path, default=DEFAULT_REFERENCE)
     ap.add_argument("--out", type=Path, default=REPO / "tests" / "golden" / "_cache")
+    ap.add_argument("--pairs", nargs="+", default=list(PAIRS), choices=list(PAIRS))
     args = ap.parse_args()
     try:
-        generate(args.reference, args.out)
+        for pair in args.pairs:
+            generate(args.reference, args.out, pair)
     except FileNotFoundError as e:
         print(f"skipped: {e}", file=sys.stderr)
         sys.exit(2)

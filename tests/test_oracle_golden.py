@@ -71,6 +71,59 @@ def test_wta_median_only_exact(golden_walk_aggr, goldens):
 
 
 @pytest.mark.golden
+def test_lr_median_exact(cone_pair, goldens, golden_walk_aggr):
+    """Run A golden (LR on, speckle off): pins the LR stage in isolation —
+    including the float32-subtraction threshold semantics (LRCheck computes
+    ``fabs((float)(disp - disp_r))``, SemiGlobalMatching.c:461)."""
+    aggr = golden_walk_aggr
+    disp_r = oracle.compute_disparity(aggr, OPTS, inverse=True)
+    disp_l = oracle.compute_disparity(aggr, OPTS, inverse=False)
+    disp_l = oracle.lr_check(disp_l, disp_r, OPTS.lrcheck_thres)
+    disp_l = oracle.median_filter_3x3(disp_l, inplace=True)
+    assert _disp_equal(disp_l, goldens["disp_left_lr_median"])
+
+
+@pytest.mark.golden
+@pytest.mark.slow
+@pytest.mark.parametrize("pair,images", [
+    ("Cloth3", ("view1.png", "view5.png")),
+    ("Wood2", ("view1.png", "view5.png")),
+])
+def test_big_pair_chain_exact(reference_dir, load_goldens, pair, images):
+    """Cloth3/Wood2 goldens (the other two pairs whose outputs the
+    reference checks in, ``Data/{Cloth3,Wood2}/view1.png.d.png``): the full
+    oracle chain is bit-equal at sizes 2x beyond the reference's static
+    450x375 capacity.  No full-pipeline (speckle) golden exists at this
+    size — the reference's RemoveSpeckles stack arrays overflow there
+    (see tests/golden/gen_golden.c header); Wood2's LR stage is what
+    caught the float32-threshold semantics (oracle.lr_check docstring)."""
+    from soc_project_stereo_matching_tpu.data.imageio import load_image_gray_stb
+
+    base = reference_dir / "SemiGlobalMatching" / "Data" / pair
+    left = load_image_gray_stb(base / images[0])
+    right = load_image_gray_stb(base / images[1])
+    g = load_goldens(pair)
+
+    cl, cr = oracle.census_5x5(left), oracle.census_5x5(right)
+    assert np.array_equal(cl, g["census_left"])
+    assert np.array_equal(cr, g["census_right"])
+    cost = oracle.hamming_cost_volume(cl, cr, OPTS.min_disparity,
+                                      OPTS.max_disparity)
+    assert np.array_equal(cost, g["cost_init"])
+    aggr = oracle.aggregate_paths_reference_walk(cost, left, OPTS)
+    assert np.array_equal(aggr, g["cost_aggr"])
+
+    disp_r = oracle.compute_disparity(aggr, OPTS, inverse=True)
+    assert _disp_equal(disp_r, g["disp_right"])
+    disp_l = oracle.compute_disparity(aggr, OPTS, inverse=False)
+    lr = oracle.lr_check(disp_l, disp_r, OPTS.lrcheck_thres)
+    assert _disp_equal(oracle.median_filter_3x3(lr, inplace=True),
+                       g["disp_left_lr_median"])
+    assert _disp_equal(oracle.median_filter_3x3(disp_l, inplace=True),
+                       g["disp_left_wta_median"])
+
+
+@pytest.mark.golden
 @pytest.mark.slow
 def test_clean_wrap_mode_close_to_reference(cone_pair, goldens):
     """The production aggregation (mod-W wrapping diagonals, reference bug
