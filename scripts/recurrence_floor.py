@@ -1,0 +1,233 @@
+"""Empirical critical-path floor for the DP-aggregation recurrence.
+
+VERDICT r4 weak#1b: "24% of VPU ceiling" had never been compared against
+the ACHIEVABLE bound for a loop-carried recurrence, so there was no way
+to tell whether the 1.73 ms aggregation stage is 70% headroom or 5%.
+
+The SGM scan (reference hot loop SemiGlobalMatching.c:329-351) carries
+``(L(p-r, :), min_d L(p-r, :))`` from row to row; within a row step only
+the ops on that carried chain are forced serial — cost/P2 row loads, the
+direction-sum accumulation and the uint16 store can all overlap the next
+step in principle.  This script times a LADDER of Pallas kernels at the
+exact production geometry (cone, B=8, D=64; same grid shape, same
+fori_loop trip counts, same vreg shapes):
+
+  chain{1,3}      the carried-chain ops ONLY (rolls, clamped neighbour
+                  mins, P1/P2 folds, & 0xFF, the D-min reduce), with
+                  cost/P2 rows as constant vregs and no volume store —
+                  the empirical serial floor per launch shape
+                  (1 roll = horizontal launches, 3 = vertical groups)
+  prod{1,3}       the shipped _directional_scan_group at the same shape
+                  (prod - chain = DMA + loads + accumulate + store + grid
+                  overhead, i.e. everything NOT forced serial)
+
+and writes the aggregate floor for the full 4-launch pipeline next to
+the measured stage so BASELINE.md can quote "aggregation runs at X× the
+empirical serial bound" instead of a naked VPU-utilization number.
+
+Timing: RTT-cancelling two-length fori chains (chained_delta_time),
+min-of-repeats, on the real chip.  Writes results/recurrence_floor.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+B, H, W, D = 8, 375, 450, 64
+ITERS = 24
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    from soc_project_stereo_matching_tpu.utils.relay import wait_for_backend
+
+    wait_for_backend(log=log)
+
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert jax.default_backend() == "tpu", "floor probe needs the real chip"
+    jax.config.update("jax_compilation_cache_dir", "/tmp/soc_sgm_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from soc_project_stereo_matching_tpu import SGMOptions
+    from soc_project_stereo_matching_tpu.data.imageio import (
+        load_image_gray_stb)
+    from soc_project_stereo_matching_tpu.ops import pallas_kernels as pk
+    from soc_project_stereo_matching_tpu.utils.profiling import (
+        chained_delta_time)
+
+    opt = SGMOptions()
+    p1 = opt.p1
+
+    # production geometries: vertical scans step over H with P=W lanes;
+    # horizontal scans step over W with P=H lanes (transposed volume)
+    br_v = pk._plain_block_rows(D, W, 32)
+    br_h = pk._plain_block_rows(D, H, 32)
+    hp = pk._round_up(H, br_v)          # vertical scan-axis length
+    wp = pk._round_up(W, br_h)          # horizontal scan-axis length
+
+    base = "/root/reference/SemiGlobalMatching/Data/cone/"
+    left = load_image_gray_stb(base + "im2.png")
+    right = load_image_gray_stb(base + "im6.png")
+    lefts = jnp.asarray(np.broadcast_to(left, (B, H, W)))
+    rights = jnp.asarray(np.broadcast_to(right, (B, H, W)))
+    cost = pk.census_cost_volume_pallas(lefts, rights, 0, D)
+    img = jax.jit(lambda x: x.astype(jnp.int32))(lefts)
+    cost8 = jax.jit(lambda c: c.astype(jnp.int8))(cost)
+
+    results = {}
+
+    def record(name, fn, note=""):
+        try:
+            s = fn()
+        except Exception as e:
+            results[name] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+            log(f"{name:10s} FAILED: {type(e).__name__}: {str(e)[:200]}")
+            return None
+        ms = s * 1e3 / B
+        results[name] = {"ms_per_frame": round(ms, 4)}
+        if note:
+            results[name]["note"] = note
+        log(f"{name:10s} {ms:8.4f} ms/frame")
+        return ms
+
+    # ---- chain-only floor kernels ---------------------------------------
+    def chain_kernel(o_ref, carry_cost, carry_min, *, steps, d, w, rolls):
+        """The forced-serial subset of _scan_group_kernel's step: everything
+        whose inputs include the carried state and whose outputs feed it."""
+        sentinel = jnp.int32(pk.SENTINEL)
+        d_iota = jax.lax.broadcasted_iota(jnp.int32, (d, w), 0)
+        # stand-ins for the (off-chain) cost/P2 row loads: constant vregs
+        cost_row = (d_iota * 7 + 13) & 0x7F
+        p2_row = jnp.full((1, w), 150, jnp.int32)
+
+        def step(s, _):
+            for k, roll in enumerate(rolls):
+                prev = carry_cost[k]
+                pmin = carry_min[k]
+                if roll:
+                    prev = pk._roll(prev, roll, axis=1)
+                    pmin = pk._roll(pmin, roll, axis=1)
+                up = jnp.where(d_iota == 0, sentinel,
+                               pk._roll(prev, 1, axis=0))
+                dn = jnp.where(d_iota == d - 1, sentinel,
+                               pk._roll(prev, -1, axis=0))
+                m = jnp.minimum(jnp.minimum(prev, jnp.minimum(up, dn) + p1),
+                                pmin + p2_row)
+                cs = (cost_row + m - pmin) & 0xFF
+                carry_cost[k] = cs
+                carry_min[k] = jnp.min(cs, axis=0, keepdims=True)
+            return ()
+
+        jax.lax.fori_loop(0, steps, step, ())
+        # keep the recurrence live (prevent DCE); one row, once per launch
+        o_ref[0] = (carry_cost[0] + carry_min[0]).astype(jnp.uint16)
+
+    def make_chain(steps, d, w, rolls):
+        n = len(rolls)
+        return pl.pallas_call(
+            functools.partial(chain_kernel, steps=steps, d=d, w=w,
+                              rolls=rolls),
+            grid=(B,),
+            in_specs=[],
+            out_specs=pl.BlockSpec((1, d, w), lambda bi: (bi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, d, w), jnp.uint16),
+            scratch_shapes=[pltpu.VMEM((n, d, w), jnp.int32),
+                            pltpu.VMEM((n, 1, w), jnp.int32)],
+            compiler_params=pk._VMEM_PARAMS,
+        )
+
+    def time_chain(steps, d, w, rolls):
+        run = make_chain(steps, d, w, rolls)
+
+        def step_fn(x):
+            o = run()
+            return x ^ (o & 1)
+
+        x0 = jnp.zeros((B, d, w), jnp.uint16)
+        return lambda: chained_delta_time(step_fn, x0, iters=ITERS)
+
+    ms_c3 = record("chain3", time_chain(hp, D, W, (0, 1, -1)),
+                   f"3-direction vertical shape: {hp} serial steps x B")
+    ms_c1 = record("chain1", time_chain(wp, D, H, (0,)),
+                   f"1-direction horizontal shape: {wp} serial steps x B")
+
+    # ---- production launches at the same shapes --------------------------
+    (v_rolls_f, v_rolls_b, cost_v, p2_f, p2_b,
+     pad_p2) = pk._vertical_setup(cost8, img, 8, p1, opt.p2_init, hp, H)
+    p2_fp = jnp.pad(p2_f, pad_p2)
+
+    def prod3_step(c8):
+        out = pk._directional_scan_group(
+            (c8 & 0x7F).astype(jnp.int8), p2_fp, None, (0, 1, -1), False,
+            p1, False, 32)
+        return c8 ^ (out & 1).astype(jnp.int8)
+
+    cost_vd = jax.device_put(jax.device_get(cost_v))
+    ms_p3 = record("prod3", lambda: chained_delta_time(
+        prod3_step, cost_vd, iters=ITERS),
+        "shipped 3-direction vertical launch (loads+store+grid included)")
+
+    img_t = jax.jit(lambda x: x.transpose(0, 2, 1))(img)
+    cost_t = jax.jit(lambda c: jnp.pad(
+        c.transpose(0, 3, 2, 1).astype(jnp.int8),
+        ((0, 0), (0, wp - W), (0, 0), (0, 0))))(cost8)
+    p2_hf = jnp.pad(pk._p2_planes(img_t, (0,), +1, p1, opt.p2_init),
+                    ((0, 0), (0, wp - W), (0, 0), (0, 0)))
+
+    def prod1_step(c8t):
+        out = pk._directional_scan_group(
+            (c8t & 0x7F).astype(jnp.int8), p2_hf, None, (0,), False,
+            p1, False, 32)
+        return c8t ^ (out & 1).astype(jnp.int8)
+
+    ms_p1 = record("prod1", lambda: chained_delta_time(
+        prod1_step, cost_t, iters=ITERS),
+        "shipped 1-direction horizontal launch")
+
+    # ---- aggregate floor vs measured stage -------------------------------
+    summary = {}
+    if ms_c3 and ms_c1:
+        floor_total = 2 * ms_c3 + 2 * ms_c1
+        summary["floor_4launch_ms_per_frame"] = round(floor_total, 4)
+        summary["note"] = (
+            "floor = 2x chain3 + 2x chain1: the serial recurrence work of "
+            "the full 8-path pipeline with loads/stores/accumulates/"
+            "transposes removed; compare stage_profile_tpu.json aggregation")
+        if ms_p3 and ms_p1:
+            prod_total = 2 * ms_p3 + 2 * ms_p1
+            summary["prod_4launch_ms_per_frame"] = round(prod_total, 4)
+            summary["prod_over_floor"] = round(prod_total / floor_total, 3)
+        log(f"floor(4 launches) = {floor_total:.4f} ms/frame")
+
+    out_path = REPO / "results" / "recurrence_floor.json"
+    out_path.write_text(json.dumps({
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "backend": "tpu",
+        "batch": B, "height": H, "width": W, "d": D,
+        "block_rows_v": br_v, "block_rows_h": br_h,
+        "hp": hp, "wp": wp, "iters": ITERS,
+        "variants": results,
+        "summary": summary,
+    }, indent=2))
+    log(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

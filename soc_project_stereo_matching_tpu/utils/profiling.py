@@ -25,6 +25,35 @@ import jax
 import jax.numpy as jnp
 
 
+def chained_delta_time(step: Callable, x0, iters: int = 24,
+                       repeats: int = 3) -> float:
+    """Seconds per ``x -> step(x)`` call, relay-robust.
+
+    Jits the whole chain as ONE ``fori_loop`` with a runtime trip count and
+    returns ((iters+1)-chain − 1-chain) / iters, each end min-of-repeats —
+    the per-dispatch relay RTT and fixed launch overhead cancel in the
+    difference (the ``chained_match_time`` methodology for generic
+    shape-preserving steps)."""
+
+    @jax.jit
+    def chain(x, n):
+        return jax.lax.fori_loop(0, n, lambda _, c: step(c), x)
+
+    def timed(n):
+        best = float("inf")
+        nn = jnp.int32(n)
+        r = chain(x0, nn)                          # warm-up / compile
+        jax.device_get(jnp.ravel(r)[0])
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            r = chain(x0, nn)
+            jax.device_get(jnp.ravel(r)[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (timed(iters + 1) - timed(1)) / iters
+
+
 def chained_time(step: Callable, x0, iters: int = 10) -> float:
     """Seconds per iteration of ``x -> step(x)`` (same shape/dtype), with a
     warm-up call, dependency chaining, and a final scalar fetch that forces
