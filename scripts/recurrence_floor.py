@@ -107,13 +107,18 @@ def main():
         return ms
 
     # ---- chain-only floor kernels ---------------------------------------
-    def chain_kernel(o_ref, carry_cost, carry_min, *, steps, d, w, rolls):
+    def chain_kernel(x_ref, o_ref, carry_cost, carry_min, *, steps, d, w,
+                     rolls):
         """The forced-serial subset of _scan_group_kernel's step: everything
-        whose inputs include the carried state and whose outputs feed it."""
+        whose inputs include the carried state and whose outputs feed it.
+        ``x_ref`` threads the timing chain's dependency through the launch
+        (otherwise XLA hoists the zero-input call out of the fori chain)."""
         sentinel = jnp.int32(pk.SENTINEL)
         d_iota = jax.lax.broadcasted_iota(jnp.int32, (d, w), 0)
-        # stand-ins for the (off-chain) cost/P2 row loads: constant vregs
-        cost_row = (d_iota * 7 + 13) & 0x7F
+        # stand-ins for the (off-chain) cost/P2 row loads: one chain-
+        # dependent vreg (forces re-execution per chain link), no DMA
+        cost_row = ((d_iota * 7 + 13) & 0x7F) ^ (x_ref[0] & 1).astype(
+            jnp.int32)
         p2_row = jnp.full((1, w), 150, jnp.int32)
 
         def step(s, _):
@@ -140,13 +145,14 @@ def main():
 
     def make_chain(steps, d, w, rolls):
         n = len(rolls)
+        spec = pl.BlockSpec((1, d, w), lambda bi: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
         return pl.pallas_call(
             functools.partial(chain_kernel, steps=steps, d=d, w=w,
                               rolls=rolls),
             grid=(B,),
-            in_specs=[],
-            out_specs=pl.BlockSpec((1, d, w), lambda bi: (bi, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            in_specs=[spec],
+            out_specs=spec,
             out_shape=jax.ShapeDtypeStruct((B, d, w), jnp.uint16),
             scratch_shapes=[pltpu.VMEM((n, d, w), jnp.int32),
                             pltpu.VMEM((n, 1, w), jnp.int32)],
@@ -157,8 +163,7 @@ def main():
         run = make_chain(steps, d, w, rolls)
 
         def step_fn(x):
-            o = run()
-            return x ^ (o & 1)
+            return run(x)
 
         x0 = jnp.zeros((B, d, w), jnp.uint16)
         return lambda: chained_delta_time(step_fn, x0, iters=ITERS)

@@ -129,17 +129,16 @@ def _plain_block_rows(d: int, w: int, requested: int) -> int:
     return max(8, rows - rows % 8)
 
 
-def _divisor_block_rows(s: int, d: int, w: int, requested: int) -> int:
-    """Largest divisor of s that fits the VMEM-derived row budget.
-
-    Carry-aware scans cannot pad the scan axis (padded zero rows scanned
-    after the real rows would corrupt the outgoing DP carry), so the chunk
-    size must divide the true length."""
-    cap = _auto_block_rows(d, w, requested)
-    for rows in range(min(cap, s), 0, -1):
-        if s % rows == 0:
-            return rows
-    return 1
+def _carry_block_rows(s: int, d: int, w: int, requested: int) -> int:
+    """Chunk size for carry-aware scans: the VMEM-derived row budget,
+    uncapped by divisibility.  When it does not divide the true scan
+    length the caller pads the scan axis and the kernel stops each
+    chunk at its valid row count (``s_true``) — padded rows are never
+    stepped, so the outgoing DP carry stays exact.  (The former
+    largest-divisor rule collapsed to 5-row chunks at 1500x1000 D=256
+    tiles — the r4 tiled-vs-untiled 8% gap, results/big_configs.json —
+    and to 1-row chunks for prime tile heights.)"""
+    return min(max(1, _auto_block_rows(d, w, requested)), s)
 
 
 def _scan_group_kernel(
@@ -147,7 +146,7 @@ def _scan_group_kernel(
     out_ref, cout_cost_ref, cout_min_ref, wta_refs, carry_cost, carry_min,
     *, rows: int, d: int, w: int, rolls: Sequence[int], reverse: bool,
     p1: int, restart: bool, wta=None, p2_nsp: bool = False,
-    compute16: bool = False, unroll: int = 1,
+    compute16: bool = False, unroll: int = 1, s_true: Optional[int] = None,
 ):
     """One (batch, row-chunk) grid step of a fused multi-direction DP scan.
 
@@ -174,6 +173,18 @@ def _scan_group_kernel(
     sentinel = jnp.asarray(SENTINEL, cdt)
     chunk = pl.program_id(1)
 
+    # valid row count of THIS chunk: when the caller padded the scan axis
+    # (s_true set, carry scans whose VMEM chunk does not divide the true
+    # length), the final block is partial — the loop stops there so padded
+    # rows never touch the DP carry.  Block id under a reverse scan is
+    # flipped by the index map.
+    if s_true is None:
+        valid = rows
+    else:
+        nblk = pl.num_programs(1)
+        blk = nblk - 1 - chunk if reverse else chunk
+        valid = jnp.minimum(rows, s_true - blk * rows)
+
     @pl.when(chunk == 0)
     def _init():
         if cin_cost_ref is None:
@@ -189,7 +200,7 @@ def _scan_group_kernel(
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (d, w), 1)
 
     def step(s, _):
-        row = rows - 1 - s if reverse else s
+        row = valid - 1 - s if reverse else s
         # & 0xFF recovers the unsigned value: the volume rides as int8 for
         # DMA width, so uint8 costs >= 128 arrive bit-preserved but negative
         cost_row = cost_ref[0, row].astype(cdt) & 0xFF           # (D, W)
@@ -239,8 +250,9 @@ def _scan_group_kernel(
         out_ref[0, row] = total.astype(jnp.uint16)
         return ()
 
-    jax.lax.fori_loop(0, rows, step, (),
-                      unroll=unroll if unroll > 1 else False)
+    jax.lax.fori_loop(0, valid, step, (),
+                      unroll=unroll if unroll > 1 and s_true is None
+                      else False)
 
     if cout_cost_ref is not None:
         # same output block every chunk -> the last chunk's state survives
@@ -282,14 +294,27 @@ def _directional_scan_group(
     b, s, d, p = cost.shape
     n = len(rolls)
     has_carry = carry_in is not None or want_carry
+    s_true = None
     if has_carry:
-        # no scan-axis padding allowed: pick a divisor chunk size
-        block_rows = _divisor_block_rows(s, d, p, block_rows)
+        # full VMEM-budget chunks; if the budget does not divide the true
+        # scan length, pad the axis and let the kernel stop each chunk at
+        # its valid row count — padded rows never step the DP carry
+        block_rows = _carry_block_rows(s, d, p, block_rows)
+        if s % block_rows:
+            sp = _round_up(s, block_rows)
+            pad = ((0, 0), (0, sp - s), (0, 0), (0, 0))
+            cost = jnp.pad(cost, pad)
+            p2 = jnp.pad(p2, pad)
+            if acc is not None:
+                acc = jnp.pad(acc, pad)
+            s_true, s = s, sp
     else:
         # shrink chunks for large (D, P); s is pre-padded by the caller
         # with this same deterministic value (8-divisible for the nsp spec)
         block_rows = _plain_block_rows(d, p, block_rows)
     assert s % block_rows == 0, (s, block_rows)
+    assert not (wta and s_true is not None), \
+        "WTA fusion requires an unpadded scan axis"
     grid = (b, s // block_rows)
 
     # P2 layout (callers always hand (B, S, n, P)):
@@ -308,7 +333,7 @@ def _directional_scan_group(
         _scan_group_kernel,
         rows=block_rows, d=d, w=p, rolls=tuple(rolls), reverse=reverse,
         p1=p1, restart=restart, wta=wta, p2_nsp=p2_nsp, compute16=compute16,
-        unroll=unroll,
+        unroll=unroll, s_true=s_true,
     )
     n_wta = 0 if wta is None else (10 if wta[1] else 5)
 
@@ -398,6 +423,8 @@ def _directional_scan_group(
         return res
     res = list(res)
     out = res.pop(0)
+    if s_true is not None:
+        out = out[:, :s_true]        # drop the scan-axis padding rows
     carry_out = None
     if has_carry:
         carry_out = (res.pop(0), res.pop(0))

@@ -432,9 +432,8 @@ def _tiled_forward_batch_pallas(
         if cross_tile == "local" or k == 1:
             # fresh-start scans need no carry machinery: pad the scan axis
             # (zero cost/P2 rows are carry-neutral in both directions, as in
-            # aggregate_paths) and crop.  want_carry=True would force
-            # divisor-of-Ht chunking — block_rows collapses to 1 for a prime
-            # Ht — plus dead carry outputs per direction group.
+            # aggregate_paths) and crop.  want_carry=True would add dead
+            # carry outputs per direction group for nothing.
             hp = pk._round_up(ht, 32)
             pad = ((0, 0), (0, hp - ht), (0, 0), (0, 0))
             contrib = pk.directional_scan_group(

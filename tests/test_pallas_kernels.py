@@ -418,3 +418,49 @@ def test_scan_group_int16_compute_bit_equal():
         for a, b in zip(w32[1], w16[1]):
             assert a.dtype == b.dtype == jnp.int32
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scan_group_carry_nondividing_chunk():
+    # carry-aware scans whose VMEM chunk does NOT divide the scan length
+    # take the padded partial-chunk path (_carry_block_rows + s_true): the
+    # kernel must stop each chunk at its valid row count so padded rows
+    # never step the DP carry.  s=37 with block_rows=8 pads to 40 with a
+    # 5-row final chunk (forward) / first chunk (reverse).
+    s = H
+    cost = jnp.asarray(RNG.integers(0, 256, (2, s, D, W),
+                                    dtype=np.uint8)).astype(jnp.int8)
+    img = jnp.asarray(RNG.integers(0, 256, (2, s, W)).astype(np.int32))
+    hp = pk._round_up(s, 8)
+    pad = ((0, 0), (0, hp - s), (0, 0), (0, 0))
+    for rolls, rev in (((0, 1, -1), False), ((0, -1, 1), True),
+                       ((0,), False)):
+        p2 = pk._p2_planes(img, rolls, -1 if rev else +1, 10, 150)
+        # ground truth: the plain (fresh-start) scan on the padded axis
+        want = np.asarray(pk._directional_scan_group(
+            jnp.pad(cost, pad), jnp.pad(p2, pad), None, rolls, rev, 10,
+            False, 8))[:, :s]
+        for c16 in (False, True):
+            got, cout = pk._directional_scan_group(
+                cost, p2, None, rolls, rev, 10, False, 8,
+                want_carry=True, compute16=c16)
+            assert got.shape[1] == s
+            np.testing.assert_array_equal(want, np.asarray(got))
+
+            # carry-out through the partial chunk: scanning the two halves
+            # with the boundary carry chained must reproduce the one-shot
+            # outputs AND its outgoing state (the cross-tile contract)
+            cut = 24 if not rev else 13      # halves that need padding too
+            lo, hi = (slice(None, cut), slice(cut, None))
+            first, second = (lo, hi) if not rev else (hi, lo)
+            o1, c1 = pk._directional_scan_group(
+                cost[:, first], p2[:, first], None, rolls, rev, 10, False,
+                8, want_carry=True, compute16=c16)
+            o2, c2 = pk._directional_scan_group(
+                cost[:, second], p2[:, second], None, rolls, rev, 10,
+                False, 8, carry_in=c1, want_carry=True, compute16=c16)
+            np.testing.assert_array_equal(np.asarray(got[:, first]),
+                                          np.asarray(o1))
+            np.testing.assert_array_equal(np.asarray(got[:, second]),
+                                          np.asarray(o2))
+            for a, b in zip(cout, c2):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

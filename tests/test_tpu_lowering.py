@@ -69,7 +69,8 @@ def test_aggregate_wta_lowering(tpu_lowering):
 
 
 def test_carry_scan_lowering(tpu_lowering):
-    """The tiled path's carry-aware scan (divisor chunking, snp P2)."""
+    """The tiled path's carry-aware scan (snp P2; H=75 with 32-row chunks
+    exercises the padded partial-chunk path — s_true dynamic trip)."""
     rolls = (0, 1, -1)
     cost = jnp.asarray(RNG.integers(0, 128, (B, H, D, W), dtype=np.int8))
     img = jnp.asarray(RNG.integers(0, 256, (B, H, W)).astype(np.int32))
