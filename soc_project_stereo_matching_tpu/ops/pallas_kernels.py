@@ -1106,9 +1106,11 @@ def _speckle_hist_kernel(lab_ref, out_ref, *, g: int, pc: int, band: int,
     """Banded MXU histogram: label l splits into (l >> lo_bits, l & mask)
     = its root's (row, col); per group of g pixel chunks the two one-hot
     matrices (pixels on the lane axis) contract on the MXU into a
-    (band, 1 << lo_bits) f32 tile accumulated into the root plane at the
-    group's band offset.  Replaces XLA scatter-add (near-serial on TPU);
-    counts < 2^24 accumulate exactly in f32, one-hots are exact in bf16.
+    (band, 1 << lo_bits) int32 tile accumulated into the root plane at the
+    group's band offset.  Replaces XLA scatter-add (near-serial on TPU).
+    One-hots ride as int8 with int32 accumulation — exact, and measured
+    1.56x the bf16/f32 path (results/speckle_tail_probe.json: base8 0.163
+    vs base 0.253 ms/frame; the MXU's int8 path doubles the bf16 rate).
     Invalid and padded pixels carry the sentinel label h_hist << lo_bits,
     whose row can never match an in-band iota."""
     gi = pl.program_id(1)
@@ -1123,14 +1125,14 @@ def _speckle_hist_kernel(lab_ref, out_ref, *, g: int, pc: int, band: int,
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (band, pc), 0) + start
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (lo, pc), 0)
     tile = lab_ref[0, 0]                                  # (1, g*Pc) int32
-    acc = jnp.zeros((band, lo), jnp.float32)
+    acc = jnp.zeros((band, lo), jnp.int32)
     for j in range(g):
         row = tile[:, j * pc:(j + 1) * pc]                # (1, Pc)
-        am = (k_iota == (row >> lo_bits)).astype(jnp.bfloat16)
-        pm = (l_iota == (row & (lo - 1))).astype(jnp.bfloat16)
+        am = (k_iota == (row >> lo_bits)).astype(jnp.int8)
+        pm = (l_iota == (row & (lo - 1))).astype(jnp.int8)
         acc += jax.lax.dot_general(
             am, pm, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.int32)
     out_ref[0, pl.dslice(start, band), :] += acc
 
 
@@ -1141,7 +1143,9 @@ def _speckle_verdict_kernel(lab_ref, m_ref, out_ref, *, g: int, pc: int,
     M[root_row(p), root_col(p)] via Q = M_band @ onehot_col followed by a
     sublane-reduced elementwise product with onehot_row — one exact 0/1
     per pixel, no second propagation pass over the frame (each small
-    component's verdict is read from its root, not flooded to it)."""
+    component's verdict is read from its root, not flooded to it).
+    int8 operands / int32 accumulation, exact (see _speckle_hist_kernel's
+    measured A/B)."""
     gi = pl.program_id(1)
     lo = 1 << lo_bits
     start = _speckle_band_start(gi, g=g, pc=pc, w=w, a=a, band=band,
@@ -1153,12 +1157,13 @@ def _speckle_verdict_kernel(lab_ref, m_ref, out_ref, *, g: int, pc: int,
     rows = []
     for j in range(g):
         row = tile[:, j * pc:(j + 1) * pc]                # (1, Pc)
-        am = (k_iota == (row >> lo_bits)).astype(jnp.float32)
-        pm = (l_iota == (row & (lo - 1))).astype(jnp.bfloat16)
+        am = (k_iota == (row >> lo_bits)).astype(jnp.int32)
+        pm = (l_iota == (row & (lo - 1))).astype(jnp.int8)
         q = jax.lax.dot_general(                          # (band, Pc)
             m_band, pm, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        rows.append(jnp.sum(am * q, axis=0, keepdims=True))
+            preferred_element_type=jnp.int32)
+        rows.append(jnp.sum(am * q, axis=0,
+                            keepdims=True).astype(jnp.float32))
     out_ref[0, 0] = jnp.concatenate(rows, axis=1)         # (1, g*Pc)
 
 
@@ -1260,7 +1265,7 @@ def remove_speckles_pallas(disp: jnp.ndarray, diff_insame: float = 1.0,
         in_specs=[grp_spec],
         out_specs=pl.BlockSpec((1, h_hist, lo), lambda bi, gi: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h_hist, lo), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h_hist, lo), jnp.int32),
         compiler_params=vmem_params,
         interpret=_interpret(),
     )(lab_grp)
@@ -1268,7 +1273,7 @@ def remove_speckles_pallas(disp: jnp.ndarray, diff_insame: float = 1.0,
     # a bin is non-zero only at a component root's own (row, col): labels
     # ARE root coordinates after convergence, so this is the whole verdict
     root_small = ((counts > 0)
-                  & (counts < jnp.float32(min_area))).astype(jnp.bfloat16)
+                  & (counts < jnp.int32(min_area))).astype(jnp.int8)
 
     verdict = pl.pallas_call(
         functools.partial(_speckle_verdict_kernel, **hist_args),
