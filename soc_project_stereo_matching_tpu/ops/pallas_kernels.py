@@ -21,6 +21,15 @@ Eight paths therefore take four launches:
 and one XLA add combines the vertical and (back-transposed) horizontal
 partials into the uint16 aggregated volume, bit-equal to the oracle.
 
+When the full-frame forward-sum scratch fits VMEM (``_bidir_fits``; cone
+and KITTI-geometry frames qualify) each direction PAIR instead fuses into
+one bidirectional launch (``_directional_scan_group_bidir``): the grid
+grows a direction dim, the forward pass parks its row sums on-chip, and
+the backward pass emits the only HBM store — so eight paths take TWO
+launches, the partial volume never round-trips HBM, and with fused WTA
+the aggregated volume is never stored at all (A/B:
+results/bidir_fuse_probe.json).
+
 Bit-exactness notes: the adaptive-P2 planes ``max(P1, P2/(|dI|+1))`` are
 precomputed in XLA (exact int32 division) and streamed as (nrolls, H, W)
 inputs; the per-step truncation is ``& 0xFF`` on int32, matching the
@@ -446,6 +455,226 @@ def directional_scan_group(cost, p2, acc, rolls, reverse, p1, restart,
                                    compute16=compute16)
 
 
+# Full-frame VMEM scratch budget for the bidirectional fused scans: the
+# forward pass parks its (S, D, P) uint16 row sums on-chip, so the pair of
+# launches per direction group collapses to ONE and the partial volume
+# never round-trips HBM.  56M leaves ~40M of the 96M scoped cap for the
+# revolving chunk blocks.  Cone (24M vertical / 30M horizontal) qualifies;
+# 720p+ and the big-D configs fall back to the two-launch path.
+_BIDIR_CAP_BYTES = 56 * 1024 * 1024
+
+
+def _bidir_fits(s: int, d: int, p: int, rows: int, n: int,
+                wta_on: bool) -> bool:
+    vol = s * d * p * 2                       # uint16 forward-sum scratch
+    tot = rows * d * p * 4 if wta_on else 0   # int32 WTA chunk scratch
+    carry = n * (d + 1) * p * 4
+    return vol + tot + carry <= _BIDIR_CAP_BYTES
+
+
+def _bidir_kernel(*refs, rows: int, d: int, w: int, nblk: int,
+                  rolls_f: Sequence[int], rolls_b: Sequence[int], p1: int,
+                  restart: bool, wta, has_acc: bool, want_volume: bool,
+                  n_wta: int):
+    """One (batch, direction, row-chunk) grid step of a BIDIRECTIONAL fused
+    multi-direction DP scan (both halves of a direction group in a single
+    launch).
+
+    direction 0 (grid dim 1) scans chunks forward and parks each row's
+    direction-group sum in the full-frame ``vol_acc`` VMEM scratch;
+    direction 1 scans chunks in reverse, adds the parked forward sums (and
+    the optional ``acc`` volume) and emits the final blocks — each output
+    block is written by exactly one grid step, so there are no revisited
+    output windows.  During the forward pass the output index map parks on
+    the block the backward pass visits FIRST, so no flush happens at the
+    direction transition either.
+
+    Cuts HBM traffic vs the two-launch formulation by the full partial
+    volume write + read (the uint16 (S, D, P) round trip), and — when
+    ``wta`` is set — also drops the aggregated-volume store entirely (the
+    fused final launch's volume output was write-only: only the WTA
+    reduction planes are consumed downstream)."""
+    i = 2
+    cost_ref, p2_ref = refs[0], refs[1]
+    acc_ref = None
+    if has_acc:
+        acc_ref = refs[i]; i += 1
+    out_ref = None
+    if want_volume:
+        out_ref = refs[i]; i += 1
+    wta_refs = refs[i:i + n_wta]; i += n_wta
+    vol_acc, carry_cost, carry_min = refs[i], refs[i + 1], refs[i + 2]
+    i += 3
+    tot_ref = out_ref if want_volume else refs[i]
+
+    di = pl.program_id(1)
+    ci = pl.program_id(2)
+    sentinel = jnp.int32(SENTINEL)
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (d, w), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (d, w), 1)
+
+    @pl.when(ci == 0)
+    def _init():
+        carry_cost[...] = jnp.zeros_like(carry_cost)
+        carry_min[...] = jnp.zeros_like(carry_min)
+
+    def make_step(rolls, reverse):
+        # identical per-step math to _scan_group_kernel (bit-equality is
+        # pinned by tests); only the row-sum destination differs per pass
+        def step(s, _):
+            row = rows - 1 - s if reverse else s
+            cost_row = cost_ref[0, row].astype(jnp.int32) & 0xFF
+            total = None
+            for k, roll in enumerate(rolls):
+                prev = carry_cost[k]
+                pmin = carry_min[k]
+                if roll:
+                    prev = _roll(prev, roll, axis=1)
+                    pmin = _roll(pmin, roll, axis=1)
+                p2_row = p2_ref[0, 0, k, pl.ds(row, 1)].astype(jnp.int32)
+                up = jnp.where(d_iota == 0, sentinel,
+                               _roll(prev, 1, axis=0))
+                dn = jnp.where(d_iota == d - 1, sentinel,
+                               _roll(prev, -1, axis=0))
+                m = jnp.minimum(jnp.minimum(prev, jnp.minimum(up, dn) + p1),
+                                pmin + p2_row)
+                cs = (cost_row + m - pmin) & 0xFF
+                if restart and roll:
+                    lane = 0 if roll > 0 else w - 1
+                    cs = jnp.where(lane_iota == lane, cost_row, cs)
+                carry_cost[k] = cs
+                carry_min[k] = jnp.min(cs, axis=0, keepdims=True)
+                total = cs if total is None else total + cs
+            return row, total
+        return step
+
+    @pl.when(di == 0)
+    def _forward():
+        step = make_step(rolls_f, False)
+
+        def body(s, _):
+            row, total = step(s, None)
+            g = ci * rows + row
+            vol_acc[pl.ds(g, 1)] = total.astype(jnp.uint16)[None]
+            return ()
+
+        jax.lax.fori_loop(0, rows, body, ())
+
+    @pl.when(di == 1)
+    def _backward():
+        blk = nblk - 1 - ci
+        step = make_step(rolls_b, True)
+
+        def body(s, _):
+            row, total = step(s, None)
+            total = total + vol_acc[pl.ds(blk * rows + row, 1)][0].astype(
+                jnp.int32)
+            if acc_ref is not None:
+                total = total + acc_ref[0, row].astype(jnp.int32)
+            if want_volume:
+                tot_ref[0, row] = total.astype(jnp.uint16)
+            else:
+                tot_ref[pl.ds(row, 1)] = total[None]
+            return ()
+
+        jax.lax.fori_loop(0, rows, body, ())
+
+        if wta is not None:
+            dmin, include_inverse = wta
+            a = tot_ref[...]
+            load8 = lambda c: tot_ref[:, pl.ds(c * 8, 8), :]
+            planes = _wta_reduce_block(a, rows=rows, d=d, w=w, dmin=dmin,
+                                       include_inverse=include_inverse,
+                                       load8=load8)
+            for ref, val in zip(wta_refs, planes):
+                ref[0] = val
+
+
+def _directional_scan_group_bidir(
+    cost: jnp.ndarray,       # (B, S, D, P) int8 — S pre-padded to a
+    p2_fb: jnp.ndarray,      # block_rows multiple; (B, 2, n, S, P) int32
+    acc: Optional[jnp.ndarray],   # (B, S, D, P) uint16 or None
+    rolls_f: Sequence[int],
+    rolls_b: Sequence[int],
+    p1: int,
+    restart: bool,
+    block_rows: int,
+    wta=None,                # (dmin, include_inverse) -> planes ONLY
+):
+    """Single-launch forward+backward fused DP scan group; see
+    ``_bidir_kernel``.  Returns the (B, S, D, P) uint16 two-direction sum
+    (added onto ``acc`` when given), or — with ``wta`` — only the WTA
+    reduction plane list of the final totals."""
+    b, s, d, p = cost.shape
+    n = len(rolls_f)
+    assert len(rolls_b) == n and s % block_rows == 0
+    nblk = s // block_rows
+    want_volume = wta is None
+    n_wta = 0 if wta is None else (10 if wta[1] else 5)
+    grid = (b, 2, nblk)
+
+    def scan_blk(di, ci):
+        return jnp.where(di == 0, ci, nblk - 1 - ci)
+
+    def emit_blk(di, ci):
+        # backward-pass blocks, reverse order; forward steps park on the
+        # block the backward pass starts with (no transition flush)
+        return jnp.where(di == 0, nblk - 1, nblk - 1 - ci)
+
+    cost_spec = pl.BlockSpec((1, block_rows, d, p),
+                             lambda bi, di, ci: (bi, scan_blk(di, ci), 0, 0),
+                             memory_space=pltpu.VMEM)
+    p2_spec = pl.BlockSpec(
+        (1, 1, n, block_rows, p),
+        lambda bi, di, ci: (bi, di, 0, scan_blk(di, ci), 0),
+        memory_space=pltpu.VMEM)
+    emit_spec = pl.BlockSpec((1, block_rows, d, p),
+                             lambda bi, di, ci: (bi, emit_blk(di, ci), 0, 0),
+                             memory_space=pltpu.VMEM)
+    plane_spec = pl.BlockSpec((1, block_rows, p),
+                              lambda bi, di, ci: (bi, emit_blk(di, ci), 0),
+                              memory_space=pltpu.VMEM)
+
+    in_specs = [cost_spec, p2_spec]
+    inputs = [cost, p2_fb]
+    if acc is not None:
+        in_specs.append(emit_spec)
+        inputs.append(acc)
+
+    out_specs, out_shapes = [], []
+    if want_volume:
+        out_specs.append(emit_spec)
+        out_shapes.append(jax.ShapeDtypeStruct((b, s, d, p), jnp.uint16))
+    out_specs += [plane_spec] * n_wta
+    out_shapes += [jax.ShapeDtypeStruct((b, s, p), jnp.int32)] * n_wta
+
+    scratch = [
+        pltpu.VMEM((s, d, p), jnp.uint16),
+        pltpu.VMEM((n, d, p), jnp.int32),
+        pltpu.VMEM((n, 1, p), jnp.int32),
+    ]
+    if not want_volume:
+        scratch.append(pltpu.VMEM((block_rows, d, p), jnp.int32))
+
+    res = pl.pallas_call(
+        functools.partial(
+            _bidir_kernel, rows=block_rows, d=d, w=p, nblk=nblk,
+            rolls_f=tuple(rolls_f), rolls_b=tuple(rolls_b), p1=p1,
+            restart=restart, wta=wta, has_acc=acc is not None,
+            want_volume=want_volume, n_wta=n_wta),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+        out_shape=out_shapes if len(out_shapes) > 1 else out_shapes[0],
+        scratch_shapes=scratch,
+        compiler_params=_VMEM_PARAMS,
+        interpret=_interpret(),
+    )(*inputs)
+    if want_volume:
+        return res
+    return list(res) if n_wta > 1 else [res]
+
+
 def int16_safe(p1: int, p2_init: int) -> bool:
     """Whether the packed-int16 recurrence cannot overflow for these
     penalties.  Worst-case intermediates: ``min(up, dn) + p1 <= 255 + p1``
@@ -480,8 +709,23 @@ def _p2_planes(img: jnp.ndarray, rolls: Sequence[int], axis_prev: int,
     return jnp.stack(planes, axis=-2).astype(jnp.int32)
 
 
+def _use_bidir(bidir, compute16: bool, s: int, d: int, p: int,
+               rows: int, n: int, wta_on: bool) -> bool:
+    if bidir is True:
+        return True
+    return (bidir == "auto" and not compute16
+            and _bidir_fits(s, d, p, rows, n, wta_on))
+
+
+def _stack_p2_fb(p2_f: jnp.ndarray, p2_b: jnp.ndarray) -> jnp.ndarray:
+    """Two (B, S, n, P) P2 planes -> the bidir kernel's dir-major
+    (B, 2, n, S, P) layout (each direction's plane a contiguous (S, P)
+    tile, like the plain scans' nsp layout)."""
+    return jnp.stack((p2_f, p2_b), axis=1).transpose(0, 1, 3, 2, 4)
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "options", "diagonal_mode", "block_rows", "compute16"))
+    "options", "diagonal_mode", "block_rows", "compute16", "bidir"))
 def aggregate_paths(
     cost: jnp.ndarray,
     img_left: jnp.ndarray,
@@ -489,11 +733,15 @@ def aggregate_paths(
     diagonal_mode: str = "wrap",
     block_rows: int = 32,
     compute16: bool = False,
+    bidir="auto",
 ) -> jnp.ndarray:
     """Pallas multi-path aggregation, bit-equal to ``aggregation.aggregate_paths``.
 
     cost: (..., H, D, W) uint8; img_left: (..., H, W) uint8.
     Returns (..., H, D, W) uint16.  Accepts an optional leading batch dim.
+    ``bidir``: "auto" fuses each direction pair into one launch when the
+    full-frame VMEM scratch fits (see ``_bidir_fits``); True forces it,
+    False keeps the two-launch formulation.
     """
     restart = diagonal_mode == "restart"
     unbatched = cost.ndim == 3
@@ -509,9 +757,21 @@ def aggregate_paths(
     block_rows = _plain_block_rows(d, w, block_rows)
     hp = _round_up(h, block_rows)
 
+    part_h = horizontal_partial(cost8, img, p1, p2i, restart, block_rows,
+                                compute16=compute16, bidir=bidir)
+
     # ---- vertical groups (6 of 8 paths; 2 of 4) --------------------------
     (v_rolls_f, v_rolls_b, cost_v, p2_f, p2_b,
      pad_p2) = _vertical_setup(cost8, img, options.num_paths, p1, p2i, hp, h)
+    if _use_bidir(bidir, compute16, hp, d, w, block_rows, len(v_rolls_f),
+                  wta_on=False):
+        pad_vol = ((0, 0), (0, hp - h), (0, 0), (0, 0))
+        out = _directional_scan_group_bidir(
+            cost_v, _stack_p2_fb(jnp.pad(p2_f, pad_p2), jnp.pad(p2_b, pad_p2)),
+            jnp.pad(part_h, pad_vol), v_rolls_f, v_rolls_b, p1, restart,
+            block_rows)[:, :h]
+        return out[0] if unbatched else out
+
     part_v = _directional_scan_group(
         cost_v, jnp.pad(p2_f, pad_p2), None, v_rolls_f, False, p1, restart,
         block_rows, compute16=compute16)
@@ -519,16 +779,13 @@ def aggregate_paths(
         cost_v, jnp.pad(p2_b, pad_p2), part_v, v_rolls_b, True, p1, restart,
         block_rows, compute16=compute16)[:, :h]
 
-    part_h = horizontal_partial(cost8, img, p1, p2i, restart, block_rows,
-                                compute16=compute16)
-
     out = part_v + part_h
     return out[0] if unbatched else out
 
 
 @functools.partial(jax.jit, static_argnames=(
     "options", "diagonal_mode", "block_rows", "include_inverse",
-    "compute16"))
+    "compute16", "bidir"))
 def aggregate_paths_wta(
     cost: jnp.ndarray,
     img_left: jnp.ndarray,
@@ -537,6 +794,7 @@ def aggregate_paths_wta(
     block_rows: int = 32,
     include_inverse: bool = True,
     compute16: bool = False,
+    bidir="auto",
 ):
     """Fused aggregation + WTA: the horizontal passes run first, the two
     vertical group launches accumulate onto them (io-aliased), and the
@@ -580,18 +838,27 @@ def aggregate_paths_wta(
     pad_vol = ((0, 0), (0, hp - h), (0, 0), (0, 0))
 
     part_h = horizontal_partial(cost8, img, p1, p2i, restart, block_rows,
-                                compute16=compute16)
+                                compute16=compute16, bidir=bidir)
 
     (v_rolls_f, v_rolls_b, cost_v, p2_f, p2_b,
      pad_p2) = _vertical_setup(cost8, img, options.num_paths, p1, p2i, hp, h)
 
-    part = _directional_scan_group(
-        cost_v, jnp.pad(p2_f, pad_p2), jnp.pad(part_h, pad_vol),
-        v_rolls_f, False, p1, restart, block_rows, compute16=compute16)
-    _, planes = _directional_scan_group(
-        cost_v, jnp.pad(p2_b, pad_p2), part, v_rolls_b, True, p1, restart,
-        block_rows, wta=(options.min_disparity, include_inverse),
-        compute16=compute16)
+    if _use_bidir(bidir, compute16, hp, d, w, block_rows, len(v_rolls_f),
+                  wta_on=True):
+        # single launch for both vertical passes; no aggregated-volume
+        # store at all — only the WTA planes leave the chip
+        planes = _directional_scan_group_bidir(
+            cost_v, _stack_p2_fb(jnp.pad(p2_f, pad_p2), jnp.pad(p2_b, pad_p2)),
+            jnp.pad(part_h, pad_vol), v_rolls_f, v_rolls_b, p1, restart,
+            block_rows, wta=(options.min_disparity, include_inverse))
+    else:
+        part = _directional_scan_group(
+            cost_v, jnp.pad(p2_f, pad_p2), jnp.pad(part_h, pad_vol),
+            v_rolls_f, False, p1, restart, block_rows, compute16=compute16)
+        _, planes = _directional_scan_group(
+            cost_v, jnp.pad(p2_b, pad_p2), part, v_rolls_b, True, p1, restart,
+            block_rows, wta=(options.min_disparity, include_inverse),
+            compute16=compute16)
 
     def crop(x):
         x = x[:, :h]
@@ -621,7 +888,8 @@ def _vertical_setup(cost8, img, num_paths: int, p1: int, p2i: int,
 def horizontal_partial(cost8: jnp.ndarray, img: jnp.ndarray, p1: int,
                        p2_init: int, restart: bool,
                        block_rows: int = 32,
-                       compute16: bool = False) -> jnp.ndarray:
+                       compute16: bool = False,
+                       bidir="auto") -> jnp.ndarray:
     """Both horizontal passes on the (W, D, H) view; tile-local in the
     H-sharded layout, so parallel/tiles.py reuses it verbatim.
 
@@ -639,6 +907,12 @@ def horizontal_partial(cost8: jnp.ndarray, img: jnp.ndarray, p1: int,
     p2_hf = _p2_planes(img_t, (0,), +1, p1, p2_init)
     p2_hb = _p2_planes(img_t, (0,), -1, p1, p2_init)
     pad_p2t = ((0, 0), (0, wp - w), (0, 0), (0, 0))
+    if _use_bidir(bidir, compute16, wp, d, h, block_rows, 1, wta_on=False):
+        part_h = _directional_scan_group_bidir(
+            cost_t,
+            _stack_p2_fb(jnp.pad(p2_hf, pad_p2t), jnp.pad(p2_hb, pad_p2t)),
+            None, (0,), (0,), p1, restart, block_rows)[:, :w]
+        return part_h.transpose(0, 3, 2, 1)
     part_h = _directional_scan_group(
         cost_t, jnp.pad(p2_hf, pad_p2t), None, (0,), False, p1, restart,
         block_rows, compute16=compute16)
@@ -1521,6 +1795,11 @@ def lr_check_pallas(disp_left: jnp.ndarray, disp_right: jnp.ndarray,
         in_specs=[spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, hp, w), jnp.float32),
+        # the wide scoped-vmem cap every volume kernel carries: without it
+        # XLA's own choice to stage this call's (B, H, W) f32 planes in
+        # S(1) vmem (legal and profitable at 720p+) trips the default 16M
+        # scoped limit — seen as a compile OOM at 1280x720 B=8
+        compiler_params=_VMEM_PARAMS,
         interpret=_interpret(),
     )(jnp.pad(dl, pad), jnp.pad(dr, pad))
     out = out[:, :h].reshape(batch + (h, w))

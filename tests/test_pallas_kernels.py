@@ -25,17 +25,20 @@ def data():
     return cost, img
 
 
+@pytest.mark.parametrize("bidir", [False, True])
 @pytest.mark.parametrize("paths", [8, 4])
 @pytest.mark.parametrize("mode", ["wrap", "restart"])
-def test_aggregation_kernel_parity(data, paths, mode):
+def test_aggregation_kernel_parity(data, paths, mode, bidir):
     cost, img = data
     opt = SGMOptions(num_paths=paths, max_disparity=D)
     want = np.asarray(aggregation.aggregate_paths(cost, img, opt, mode))
-    got = np.asarray(pk.aggregate_paths(cost, img, opt, mode, block_rows=8))
+    got = np.asarray(pk.aggregate_paths(cost, img, opt, mode, block_rows=8,
+                                        bidir=bidir))
     np.testing.assert_array_equal(want, got)
 
 
-def test_aggregation_kernel_batched(data):
+@pytest.mark.parametrize("bidir", [False, True])
+def test_aggregation_kernel_batched(data, bidir):
     cost, img = data
     opt = SGMOptions(max_disparity=D)
     costb = jnp.stack([cost, cost[::-1]])
@@ -43,7 +46,8 @@ def test_aggregation_kernel_batched(data):
     want = np.stack([
         np.asarray(aggregation.aggregate_paths(costb[i], imgb[i], opt))
         for i in range(2)])
-    got = np.asarray(pk.aggregate_paths(costb, imgb, opt, block_rows=8))
+    got = np.asarray(pk.aggregate_paths(costb, imgb, opt, block_rows=8,
+                                        bidir=bidir))
     np.testing.assert_array_equal(want, got)
 
 
@@ -65,12 +69,14 @@ def test_wta_kernel_parity(data):
         np.asarray(wta.compute_disparity(aggr, opt, inverse=False)))
 
 
+@pytest.mark.parametrize("bidir", [False, True])
 @pytest.mark.parametrize("compute16", [False, True])
 @pytest.mark.parametrize("mode", ["wrap", "restart"])
-def test_fused_aggregation_wta_parity(data, mode, compute16):
+def test_fused_aggregation_wta_parity(data, mode, compute16, bidir):
     """aggregate_paths_wta (WTA planes emitted by the final DP launch) ==
     aggregate_paths + wta_reduce_pallas, both views, batched+unbatched;
-    also covers the packed-int16 recurrence end to end."""
+    also covers the packed-int16 recurrence and the bidirectional
+    single-launch formulation end to end."""
     cost, img = data
     opt = SGMOptions(max_disparity=D)
     costb = jnp.stack([cost, cost[::-1]])
@@ -79,14 +85,16 @@ def test_fused_aggregation_wta_parity(data, mode, compute16):
     want_f, want_i = pk.wta_reduce_pallas(aggr, opt, True, block_rows=8)
     got_f, got_i = pk.aggregate_paths_wta(costb, imgb, opt, mode,
                                           block_rows=8,
-                                          compute16=compute16)
+                                          compute16=compute16,
+                                          bidir=bidir)
     for a, b in zip(want_f, got_f):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(want_i, got_i):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     un_f, un_none = pk.aggregate_paths_wta(cost, img, opt, mode,
                                            block_rows=8,
-                                           include_inverse=False)
+                                           include_inverse=False,
+                                           bidir=bidir)
     assert un_none is None
     np.testing.assert_array_equal(np.asarray(un_f.best_idx),
                                   np.asarray(got_f.best_idx[0]))

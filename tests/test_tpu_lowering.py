@@ -58,13 +58,14 @@ def test_census_cost_lowering(tpu_lowering):
                                                       store8=store8), l, r)
 
 
-def test_aggregate_wta_lowering(tpu_lowering):
+@pytest.mark.parametrize("bidir", [False, True])
+def test_aggregate_wta_lowering(tpu_lowering, bidir):
     cost = jnp.asarray(RNG.integers(0, 128, (B, H, D, W), dtype=np.uint8))
     img = jnp.asarray(RNG.integers(0, 256, (B, H, W), dtype=np.uint8))
     opt = SGMOptions(max_disparity=D)
     tpu_lowering(
-        lambda c, i: pk.aggregate_paths_wta(c, i, opt,
-                                            include_inverse=True)[0].best_idx,
+        lambda c, i: pk.aggregate_paths_wta(
+            c, i, opt, include_inverse=True, bidir=bidir)[0].best_idx,
         cost, img)
 
 
