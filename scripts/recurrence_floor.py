@@ -17,9 +17,21 @@ fori_loop trip counts, same vreg shapes):
                   cost/P2 rows as constant vregs and no volume store —
                   the empirical serial floor per launch shape
                   (1 roll = horizontal launches, 3 = vertical groups)
+  chainio{1,3}*   chain + the production passes' per-step VMEM row
+                  loads/stores (cost, P2, accumulates, the uint16 row
+                  store) from scratch memory — VMEM accesses share the
+                  VPU instruction stream, so this IS serial work; only
+                  HBM<->VMEM DMA can overlap (suffix f/b/m = forward /
+                  backward / legacy-accumulate pass shapes)
   prod{1,3}       the shipped _directional_scan_group at the same shape
-                  (prod - chain = DMA + loads + accumulate + store + grid
-                  overhead, i.e. everything NOT forced serial)
+                  (prod - chainio = DMA not hidden + grid overhead)
+  bw_stream       chained uint16 read+write stream: the effective HBM
+                  bandwidth the launches' DMA can draw on
+
+The summary derives ACHIEVABLE bounds: per launch max(chainio, bytes/BW),
+summed over the 4-launch legacy and the shipped bidirectional (2-launch)
+formulations (results/bidir_fuse_probe.json has the matching production
+A/B).
 
 and writes the aggregate floor for the full 4-launch pipeline next to
 the measured stage so BASELINE.md can quote "aggregation runs at X× the
@@ -173,6 +185,99 @@ def main():
     ms_c1 = record("chain1", time_chain(wp, D, H, (0,)),
                    f"1-direction horizontal shape: {wp} serial steps x B")
 
+    # ---- chain + per-step VMEM IO: the honest serial bound ----------------
+    # VMEM row loads/stores execute in the SAME VPU instruction stream as
+    # the recurrence (only HBM<->VMEM DMA is asynchronous), so the
+    # production step's cost/P2 row loads, accumulate adds and row store
+    # are serial work the chain-only floor omits.  chainio{1,3}{f,b} add
+    # exactly the shipped bidirectional passes' per-step VMEM traffic from
+    # uninitialised scratch (values irrelevant to timing; no DMA):
+    #   f = forward pass (cost + n P2 loads, uint16 row store; the cost
+    #       scratch rides int32 — the int8 variant crashes this stack's
+    #       Mosaic, cf. results/mosaic_int16_probe.json — so the bound
+    #       charges a 4x-wider VMEM cost-row load than production: it can
+    #       only OVERSTATE the serial bound, never flatter production)
+    #   b = backward pass (+ the parked forward-sum row, + the acc row for
+    #       the vertical group)
+    def chainio_kernel(x_ref, o_ref, *refs, steps, d, w, rolls,
+                      extra_u16: int):
+        cost_vol, p2_vol, out_vol, carry_cost, carry_min = refs
+        sentinel = jnp.int32(pk.SENTINEL)
+        d_iota = jax.lax.broadcasted_iota(jnp.int32, (d, w), 0)
+        # chain-dependency seed as a full (d, w) plane: scalar VMEM reads
+        # and plain-integer scratch indexing both diverge from the proven
+        # kernel patterns (pl.ds dynamic slices), so stick to those
+        seed = (x_ref[0] & 1).astype(jnp.int32)
+
+        def step(s, _):
+            cost_row = (cost_vol[pl.ds(s, 1)][0] ^ seed) & 0xFF
+            total = None
+            for k, roll in enumerate(rolls):
+                prev = carry_cost[k]
+                pmin = carry_min[k]
+                if roll:
+                    prev = pk._roll(prev, roll, axis=1)
+                    pmin = pk._roll(pmin, roll, axis=1)
+                p2_row = p2_vol[k, pl.ds(s, 1)].astype(jnp.int32)
+                up = jnp.where(d_iota == 0, sentinel,
+                               pk._roll(prev, 1, axis=0))
+                dn = jnp.where(d_iota == d - 1, sentinel,
+                               pk._roll(prev, -1, axis=0))
+                m = jnp.minimum(jnp.minimum(prev, jnp.minimum(up, dn) + p1),
+                                pmin + p2_row)
+                cs = (cost_row + m - pmin) & 0xFF
+                carry_cost[k] = cs
+                carry_min[k] = jnp.min(cs, axis=0, keepdims=True)
+                total = cs if total is None else total + cs
+            for e in range(extra_u16):
+                # one (d, w) uint16 row load + add per extra operand; the
+                # out plane is read BEFORE being written (uninitialised is
+                # fine for timing) rather than allocating distinct extra
+                # planes — identical instruction stream, 22 MB less VMEM,
+                # which keeps the int32-cost 3-roll variants under the cap
+                total = total + (
+                    out_vol[pl.ds(s, 1)][0].astype(jnp.int32) + e)
+            out_vol[pl.ds(s, 1)] = total.astype(jnp.uint16)[None]
+            return ()
+
+        jax.lax.fori_loop(0, steps, step, ())
+        o_ref[0] = (out_vol[steps - 1]
+                    + carry_cost[0].astype(jnp.uint16))
+
+    def time_chainio(steps, d, w, rolls, extra_u16):
+        n = len(rolls)
+        spec = pl.BlockSpec((1, d, w), lambda bi: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+        run = pl.pallas_call(
+            functools.partial(chainio_kernel, steps=steps, d=d, w=w,
+                              rolls=rolls, extra_u16=extra_u16),
+            grid=(B,),
+            in_specs=[spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((B, d, w), jnp.uint16),
+            scratch_shapes=(
+                [pltpu.VMEM((steps, d, w), jnp.int32),
+                 pltpu.VMEM((n, steps, w), jnp.int32),
+                 pltpu.VMEM((steps, d, w), jnp.uint16),
+                 pltpu.VMEM((n, d, w), jnp.int32),
+                 pltpu.VMEM((n, 1, w), jnp.int32)]),
+            compiler_params=pk._VMEM_PARAMS,
+        )
+        x0 = jnp.zeros((B, d, w), jnp.uint16)
+        return lambda: chained_delta_time(run, x0, iters=ITERS)
+
+    ms_io3f = record("chainio3_f", time_chainio(hp, D, W, (0, 1, -1), 0),
+                     "vertical forward pass: chain + cost/P2 loads + store")
+    ms_io3b = record("chainio3_b", time_chainio(hp, D, W, (0, 1, -1), 2),
+                     "vertical backward pass: + parked-sum and acc row adds")
+    ms_io3m = record("chainio3_m", time_chainio(hp, D, W, (0, 1, -1), 1),
+                     "vertical pass with one accumulate row (the legacy "
+                     "two-launch vertical shape)")
+    ms_io1f = record("chainio1_f", time_chainio(wp, D, H, (0,), 0),
+                     "horizontal forward pass")
+    ms_io1b = record("chainio1_b", time_chainio(wp, D, H, (0,), 1),
+                     "horizontal backward pass: + parked-sum row add")
+
     # ---- production launches at the same shapes --------------------------
     (v_rolls_f, v_rolls_b, cost_v, p2_f, p2_b,
      pad_p2) = pk._vertical_setup(cost8, img, 8, p1, opt.p2_init, hp, H)
@@ -206,20 +311,84 @@ def main():
         prod1_step, cost_t, iters=ITERS),
         "shipped 1-direction horizontal launch")
 
+    # ---- HBM streaming bandwidth at the working-set size ------------------
+    # a chained uint16 stream (read + write ~47 MB/iter) measures the
+    # effective bandwidth the launches' DMA can draw on; the ACHIEVABLE
+    # per-launch bound is then max(serial chain, bytes/BW) — DMA and the
+    # recurrence overlap, so whichever is longer sets the launch floor
+    stream = jax.jit(lambda x: x + jnp.uint16(1))
+    x0 = jnp.zeros((B, hp, D, W), jnp.uint16)
+    t_bw = chained_delta_time(stream, x0, iters=ITERS)   # s per call (B frames)
+    bytes_per_iter = 2 * x0.size * 2                     # read + write, uint16
+    bw_gbs = bytes_per_iter / max(t_bw, 1e-9) / 1e9
+    results["bw_stream"] = {
+        "gb_s": round(bw_gbs, 1),
+        "note": "chained uint16 read+write stream at the volume size"}
+    log(f"stream bandwidth: {bw_gbs:.0f} GB/s")
+
+    def launch_dma_ms(in_bytes, out_bytes):
+        return (in_bytes + out_bytes) / bw_gbs / 1e6
+
+    # per-frame byte counts of each launch formulation (cone geometry)
+    vol_i8 = hp * D * W          # vertical-view int8 cost
+    vol_t8 = wp * D * H          # transposed horizontal-view int8 cost
+    vol_u16_v = hp * D * W * 2
+    vol_u16_h = wp * D * H * 2
+    p2_v = hp * 3 * W * 4
+    p2_h = wp * 1 * H * 4
+    planes = 10 * hp * W * 4
+
     # ---- aggregate floor vs measured stage -------------------------------
     summary = {}
     if ms_c3 and ms_c1:
         floor_total = 2 * ms_c3 + 2 * ms_c1
         summary["floor_4launch_ms_per_frame"] = round(floor_total, 4)
         summary["note"] = (
-            "floor = 2x chain3 + 2x chain1: the serial recurrence work of "
-            "the full 8-path pipeline with loads/stores/accumulates/"
-            "transposes removed; compare stage_profile_tpu.json aggregation")
-        if ms_p3 and ms_p1:
-            prod_total = 2 * ms_p3 + 2 * ms_p1
-            summary["prod_4launch_ms_per_frame"] = round(prod_total, 4)
-            summary["prod_over_floor"] = round(prod_total / floor_total, 3)
-        log(f"floor(4 launches) = {floor_total:.4f} ms/frame")
+            "floor = 2x chain3 + 2x chain1: the carried-chain ops alone, "
+            "with ALL per-step VMEM loads/stores removed; chainio adds the "
+            "production passes' per-step VMEM IO, which shares the VPU "
+            "instruction stream and is therefore serial work, not "
+            "hideable overhead")
+        if all(x is not None for x in (ms_io3f, ms_io3b, ms_io3m,
+                                       ms_io1f, ms_io1b)):
+            two_launch = [
+                (ms_io1f, launch_dma_ms(vol_t8 + p2_h, vol_u16_h)),
+                (ms_io1b, launch_dma_ms(vol_t8 + p2_h + vol_u16_h,
+                                        vol_u16_h)),
+                (ms_io3m, launch_dma_ms(vol_i8 + p2_v + vol_u16_v,
+                                        vol_u16_v)),
+                (ms_io3m, launch_dma_ms(vol_i8 + p2_v + vol_u16_v,
+                                        vol_u16_v + planes)),
+            ]
+            bidir = [
+                (ms_io1f + ms_io1b,
+                 launch_dma_ms(2 * (vol_t8 + p2_h), vol_u16_h)),
+                (ms_io3f + ms_io3b,
+                 launch_dma_ms(2 * (vol_i8 + p2_v) + vol_u16_v, planes)),
+            ]
+            achievable_2l = sum(max(c, d) for c, d in two_launch)
+            achievable_bd = sum(max(c, d) for c, d in bidir)
+            summary["achievable_2launch_ms_per_frame"] = round(
+                achievable_2l, 4)
+            summary["achievable_bidir_ms_per_frame"] = round(
+                achievable_bd, 4)
+            summary["achievable_note"] = (
+                "achievable = sum over launches of max(chainio serial "
+                "bound, mandatory HBM bytes / measured stream BW) — DMA "
+                "overlaps the serial stream, so the longer of the two "
+                "bounds each launch; two_launch = the 4-launch "
+                "formulation, bidir = the shipped fused forward+backward "
+                "pairs (partial volume parked in VMEM)")
+            if ms_p3 and ms_p1:
+                prod_total = 2 * ms_p3 + 2 * ms_p1
+                summary["prod_4launch_ms_per_frame"] = round(prod_total, 4)
+                summary["prod_over_floor"] = round(
+                    prod_total / floor_total, 3)
+                summary["prod_over_achievable"] = round(
+                    prod_total / achievable_2l, 3)
+            log(f"floor(4 launches) = {floor_total:.4f} ms/frame; "
+                f"achievable 2launch = {achievable_2l:.4f}, "
+                f"bidir = {achievable_bd:.4f}")
 
     out_path = REPO / "results" / "recurrence_floor.json"
     out_path.write_text(json.dumps({
