@@ -138,6 +138,31 @@ def _plain_block_rows(d: int, w: int, requested: int) -> int:
     return max(8, rows - rows % 8)
 
 
+def _pick_block_rows(s: int, d: int, p: int, requested) -> int:
+    """Scan chunk size for the plain (non-carry) scans.
+
+    ``requested=None`` auto-selects: larger chunks cut per-chunk grid
+    overhead (measured monotone on the real chip at cone size —
+    results/block_rows_probe.json: 96 rows beat 32 by ~3% on the fused
+    aggregation+WTA and ~7% on the horizontal pair, bit-equal) as long as
+    they do not inflate the padded scan length; the largest of 96/64/48
+    whose scan-axis padding stays within 3 points of the 32-row baseline's
+    wins.  An explicit ``requested`` keeps the legacy behaviour (tests pin
+    small chunks to exercise multi-chunk grids on small frames)."""
+    if requested is not None:
+        return _plain_block_rows(d, p, requested)
+    base_rows = _plain_block_rows(d, p, 32)
+    base_waste = (_round_up(s, base_rows) - s) / s
+    for cand in (96, 64, 48):
+        rows = _plain_block_rows(d, p, cand)
+        if rows <= base_rows:
+            break
+        waste = (_round_up(s, rows) - s) / s
+        if waste <= base_waste + 0.03:
+            return rows
+    return base_rows
+
+
 def _carry_block_rows(s: int, d: int, w: int, requested: int) -> int:
     """Chunk size for carry-aware scans: the VMEM-derived row budget,
     uncapped by divisibility.  When it does not divide the true scan
@@ -731,7 +756,7 @@ def aggregate_paths(
     img_left: jnp.ndarray,
     options: SGMOptions,
     diagonal_mode: str = "wrap",
-    block_rows: int = 32,
+    block_rows=None,
     compute16: bool = False,
     bidir="auto",
 ) -> jnp.ndarray:
@@ -754,10 +779,11 @@ def aggregate_paths(
     img = img_left.astype(jnp.int32)
 
     cost8 = cost.astype(jnp.int8)  # values <= 127 + border 127: exact
-    block_rows = _plain_block_rows(d, w, block_rows)
+    req = block_rows
+    block_rows = _pick_block_rows(h, d, w, block_rows)
     hp = _round_up(h, block_rows)
 
-    part_h = horizontal_partial(cost8, img, p1, p2i, restart, block_rows,
+    part_h = horizontal_partial(cost8, img, p1, p2i, restart, req,
                                 compute16=compute16, bidir=bidir)
 
     # ---- vertical groups (6 of 8 paths; 2 of 4) --------------------------
@@ -791,7 +817,7 @@ def aggregate_paths_wta(
     img_left: jnp.ndarray,
     options: SGMOptions,
     diagonal_mode: str = "wrap",
-    block_rows: int = 32,
+    block_rows=None,
     include_inverse: bool = True,
     compute16: bool = False,
     bidir="auto",
@@ -833,11 +859,12 @@ def aggregate_paths_wta(
     img = img_left.astype(jnp.int32)
 
     cost8 = cost.astype(jnp.int8)
-    block_rows = _plain_block_rows(d, w, block_rows)
+    req = block_rows
+    block_rows = _pick_block_rows(h, d, w, block_rows)
     hp = _round_up(h, block_rows)
     pad_vol = ((0, 0), (0, hp - h), (0, 0), (0, 0))
 
-    part_h = horizontal_partial(cost8, img, p1, p2i, restart, block_rows,
+    part_h = horizontal_partial(cost8, img, p1, p2i, restart, req,
                                 compute16=compute16, bidir=bidir)
 
     (v_rolls_f, v_rolls_b, cost_v, p2_f, p2_b,
@@ -887,7 +914,7 @@ def _vertical_setup(cost8, img, num_paths: int, p1: int, p2i: int,
 
 def horizontal_partial(cost8: jnp.ndarray, img: jnp.ndarray, p1: int,
                        p2_init: int, restart: bool,
-                       block_rows: int = 32,
+                       block_rows=None,
                        compute16: bool = False,
                        bidir="auto") -> jnp.ndarray:
     """Both horizontal passes on the (W, D, H) view; tile-local in the
@@ -899,7 +926,7 @@ def horizontal_partial(cost8: jnp.ndarray, img: jnp.ndarray, p1: int,
     # idempotent re-gate: this is also a public entry for parallel/tiles.py,
     # so the overflow check cannot live solely in aggregate_paths*
     compute16 = compute16 and int16_safe(p1, p2_init)
-    block_rows = _plain_block_rows(d, h, block_rows)
+    block_rows = _pick_block_rows(w, d, h, block_rows)
     wp = _round_up(w, block_rows)
     cost_t = jnp.pad(cost8.transpose(0, 3, 2, 1),
                      ((0, 0), (0, wp - w), (0, 0), (0, 0)))
@@ -1478,6 +1505,15 @@ def remove_speckles_pallas(disp: jnp.ndarray, diff_insame: float = 1.0,
             return out[0] if unbatched else out
 
         n = -(-h // strip)
+        # balance the strips: n is fixed by the VMEM budget, so shrinking
+        # each strip to ceil(h/n) (instead of the budget max, which left
+        # the final strip mostly padding) cuts the per-strip plane the
+        # label kernel compiles and propagates over — at 1500x1000 this is
+        # 633+2a -> 500+2a rows, ~20% less strip work and a smaller Mosaic
+        # program for the compile-dominant kernel
+        # (results/compile_profile.json: 390 s of the 434 s D=256 pipeline
+        # compile is this kernel)
+        strip = -(-h // n)
         flat = disp.reshape((-1, h, w))
         padded = jnp.pad(flat, ((0, 0), (a, a + n * strip - h), (0, 0)),
                          constant_values=jnp.inf)

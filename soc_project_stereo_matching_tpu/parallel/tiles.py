@@ -427,28 +427,48 @@ def _tiled_forward_batch_pallas(
     p2_f = pk._p2_planes(img, v_rolls_f, +1, p1, p2i, prev_row=prev_f)
     p2_b = pk._p2_planes(img, v_rolls_b, -1, p1, p2i, prev_row=prev_b)
 
-    for rolls, reverse, p2 in ((v_rolls_f, False, p2_f),
-                               (v_rolls_b, True, p2_b)):
-        if cross_tile == "local" or k == 1:
-            # fresh-start scans need no carry machinery: pad the scan axis
-            # (zero cost/P2 rows are carry-neutral in both directions, as in
-            # aggregate_paths) and crop.  want_carry=True would add dead
-            # carry outputs per direction group for nothing.
-            hp = pk._round_up(ht, 32)
-            pad = ((0, 0), (0, hp - ht), (0, 0), (0, 0))
-            contrib = pk.directional_scan_group(
-                jnp.pad(cost8, pad), jnp.pad(p2, pad), None, rolls,
-                reverse, p1, restart, compute16=compute16)[:, :ht]
-        elif cross_tile == "pipelined":
-            contrib = _group_scan_pipelined_pallas(
-                cost8, p2, rolls, reverse, p1, restart, axis_name, k,
-                num_micro, compute16)
+    if cross_tile == "local" or k == 1:
+        # fresh-start scans need no carry machinery: pad the scan axis
+        # (zero cost/P2 rows are carry-neutral in both directions, as in
+        # aggregate_paths), thread the accumulate THROUGH the launches
+        # (io-aliased acc) in padded scan space — the former two XLA
+        # full-volume adds were most of the r4 tiled-vs-untiled 8% gap at
+        # D=256 (results/big_configs.json) — and crop once at the end.
+        block_rows = pk._pick_block_rows(ht, cost8.shape[-2],
+                                         cost8.shape[-1], None)
+        hp = pk._round_up(ht, block_rows)
+        pad = ((0, 0), (0, hp - ht), (0, 0), (0, 0))
+        cost8_p = jnp.pad(cost8, pad)
+        part_p = jnp.pad(part, pad)
+        if pk._use_bidir("auto", compute16, hp, cost8.shape[-2],
+                         cost8.shape[-1], block_rows, len(v_rolls_f),
+                         wta_on=False):
+            # same single-launch bidirectional formulation as the untiled
+            # engine (forward sums parked in VMEM)
+            part_p = pk._directional_scan_group_bidir(
+                cost8_p,
+                pk._stack_p2_fb(jnp.pad(p2_f, pad), jnp.pad(p2_b, pad)),
+                part_p, v_rolls_f, v_rolls_b, p1, restart, block_rows)
         else:
-            contrib = _group_scan_chained_pallas(
-                cost8, p2, rolls, reverse, p1, restart, axis_name, k,
-                compute16)
-        part = part + contrib
-    aggr = part.astype(jnp.uint16)
+            for rolls, reverse, p2 in ((v_rolls_f, False, p2_f),
+                                       (v_rolls_b, True, p2_b)):
+                part_p = pk.directional_scan_group(
+                    cost8_p, jnp.pad(p2, pad), part_p, rolls, reverse, p1,
+                    restart, block_rows=block_rows, compute16=compute16)
+        aggr = part_p[:, :ht]
+    else:
+        for rolls, reverse, p2 in ((v_rolls_f, False, p2_f),
+                                   (v_rolls_b, True, p2_b)):
+            if cross_tile == "pipelined":
+                contrib = _group_scan_pipelined_pallas(
+                    cost8, p2, rolls, reverse, p1, restart, axis_name, k,
+                    num_micro, compute16)
+            else:
+                contrib = _group_scan_chained_pallas(
+                    cost8, p2, rolls, reverse, p1, restart, axis_name, k,
+                    compute16)
+            part = part + contrib
+        aggr = part.astype(jnp.uint16)
 
     return _post_aggregation(aggr, options, axis_name, k, h_total,
                              use_pallas=True)
