@@ -1512,7 +1512,14 @@ def remove_speckles_pallas(disp: jnp.ndarray, diff_insame: float = 1.0,
         # 633+2a -> 500+2a rows, ~20% less strip work and a smaller Mosaic
         # program for the compile-dominant kernel
         # (results/compile_profile.json: 390 s of the 434 s D=256 pipeline
-        # compile is this kernel)
+        # compile is this kernel).  Measured scaling of that compile
+        # (results/speckle_compile_probe.json): pixel-count-driven and
+        # superlinear in strip rows at fixed width, lane width a minor
+        # effect — so deliberately over-splitting (more, smaller strips;
+        # the kernel compiles once regardless of strip count) is the
+        # lever if the cold-compile outlier ever matters more than the
+        # extra halo rows, and strips under _PYR_PIXEL_CAP would also
+        # flip onto the measured-faster pyramid scheme
         strip = -(-h // n)
         flat = disp.reshape((-1, h, w))
         padded = jnp.pad(flat, ((0, 0), (a, a + n * strip - h), (0, 0)),
